@@ -1,0 +1,262 @@
+"""ScenePredNet: joint multi-agent multi-modal scene prediction in flax.
+
+Capability-equivalent redesign of the reference's SIMPL-derived network
+(planners/mind/networks/network.py): conv-FPN actor encoder, PointNet lane
+encoder, edge-conditioned symmetric fusion transformer, and a Bézier
+regression decoder. Differences from the reference are purely structural for
+TPU execution:
+
+- fixed-width padded inputs ([A] actors, [L] lanes) with validity masks, so a
+  whole batch of AIME branch nodes runs as ONE forward (the reference loops
+  over batch items in Python, network.py:318,497);
+- the fusion edge memory and attention are einsum formulations of the same
+  math (see layers.EdgeMemoryAttention);
+- the cls token's zero RPE row/column quirk (network.py:327-330) is
+  reproduced by padding AFTER the RPE projection.
+
+Inputs (B = batch of tree nodes):
+  actors     [B, A, To, 14]   history features, time-major (To = obs_len - 2)
+  actor_mask [B, A]
+  lanes      [B, L, 10, 16]
+  lane_mask  [B, L]
+  rpe        [B, N, N, 5]     N = A + L (no cls)
+  tgt_nodes  [B, 10, 16]
+  tgt_rpe    [B, 20]
+
+Outputs:
+  cls [B, M]            mode probabilities (softmax)
+  reg [B, A, M, F, 5]   positions (2) + exp(cov) (2) + unused 5th channel
+  vel [B, A, M, F, 2]   velocities from the Bézier derivative matrix
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from mind_tpu.config import NetConfig
+from mind_tpu.models.layers import (
+    GNConv1d,
+    Res1d,
+    linear_upsample2,
+    MLPBlock,
+    PointAggregateBlock,
+    EdgeMemoryAttention,
+    SelfAttentionEncoderLayer,
+)
+
+
+class ActorNet(nn.Module):
+    """1D-conv FPN over agent history (reference network.py:12-61).
+    x: [A, T, 14] -> [A, D]."""
+
+    hidden_size: int = 128
+    n_fpn_scale: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        h = x
+        for s in range(self.n_fpn_scale):
+            f = 2 ** (5 + s)
+            h = Res1d(f, stride=1 if s == 0 else 2)(h)
+            h = Res1d(f, stride=1)(h)
+            outs.append(h)
+
+        out = GNConv1d(self.hidden_size, act=False)(outs[-1])
+        for i in range(len(outs) - 2, -1, -1):
+            out = linear_upsample2(out)
+            out = out + GNConv1d(self.hidden_size, act=False)(outs[i])
+        out = Res1d(self.hidden_size)(out)
+        return out[..., -1, :]  # last timestep
+
+
+class LaneNet(nn.Module):
+    """PointNet-ish per-lane encoder (reference network.py:102-121).
+    feats: [L, P, 16] -> [L, D]."""
+
+    hidden_size: int = 128
+
+    @nn.compact
+    def __call__(self, feats):
+        x = MLPBlock((self.hidden_size,))(feats)
+        x = PointAggregateBlock(self.hidden_size, aggre_out=False)(x)
+        x = PointAggregateBlock(self.hidden_size, aggre_out=True)(x)
+        return x
+
+
+class RelaFusionLayer(nn.Module):
+    """One edge-conditioned fusion layer (reference network.py:124-232)."""
+
+    d_model: int
+    d_edge: int
+    n_head: int
+    update_edge: bool
+
+    @nn.compact
+    def __call__(self, node, edge, key_mask):
+        # node [N, D], edge [N, N, E], key_mask [N]
+        N = node.shape[0]
+        src = jnp.broadcast_to(node[:, None, :], (N, N, node.shape[-1]))
+        tar = jnp.broadcast_to(node[None, :, :], (N, N, node.shape[-1]))
+        memory = MLPBlock((self.d_model,))(
+            jnp.concatenate([edge, src, tar], axis=-1))  # [N, N, D]
+        if self.update_edge:
+            edge = nn.LayerNorm()(edge + MLPBlock((self.d_edge,))(memory))
+
+        x_prime = EdgeMemoryAttention(self.d_model, self.n_head)(node, memory, key_mask)
+        x = nn.LayerNorm()(node + x_prime)
+        ff = nn.Dense(self.d_model * 2)(x)
+        ff = nn.Dense(self.d_model)(nn.relu(ff))
+        x = nn.LayerNorm()(x + ff)
+        return x, edge
+
+
+class FusionNet(nn.Module):
+    """Symmetric scene encoder over [actors; lanes; cls] tokens
+    (reference network.py:271-340)."""
+
+    cfg: NetConfig
+
+    @nn.compact
+    def __call__(self, actors, lanes, rpe, token_mask):
+        # actors [A, D], lanes [L, D], rpe [N, N, 5], token_mask [N+1]
+        cfg = self.cfg
+        actors = MLPBlock((cfg.d_embed,))(actors)
+        lanes = MLPBlock((cfg.d_embed,))(lanes)
+        tokens = jnp.concatenate(
+            [actors, lanes, jnp.zeros((1, cfg.d_embed), actors.dtype)], axis=0)
+
+        # project rpe first, then zero-pad the cls row/col (network.py:326-330)
+        edge = MLPBlock((cfg.d_rpe,))(rpe)  # [N, N, E]
+        edge = jnp.pad(edge, ((0, 1), (0, 1), (0, 0)))
+
+        x = tokens
+        for i in range(cfg.n_scene_layer):
+            update_edge = cfg.update_edge and i != cfg.n_scene_layer - 1
+            x, edge = RelaFusionLayer(cfg.d_embed, cfg.d_rpe, cfg.n_scene_head,
+                                      update_edge)(x, edge, token_mask)
+
+        A = actors.shape[0]
+        return x[:A], x[A:-1], x[-1]  # actors, lanes, cls
+
+
+def bezier_T(n_order: int, n_step: int) -> np.ndarray:
+    ts = np.linspace(0.0, 1.0, n_step, endpoint=True)
+    return np.stack([
+        math.comb(n_order, i) * (1.0 - ts) ** (n_order - i) * ts**i
+        for i in range(n_order + 1)
+    ], axis=1)
+
+
+def bezier_Tp(n_order: int, n_step: int) -> np.ndarray:
+    ts = np.linspace(0.0, 1.0, n_step, endpoint=True)
+    return np.stack([
+        n_order * math.comb(n_order - 1, i) * (1.0 - ts) ** (n_order - 1 - i) * ts**i
+        for i in range(n_order)
+    ], axis=1)
+
+
+class SceneDecoder(nn.Module):
+    """cls-token -> M modes; per-actor Bézier control-point regression
+    (reference network.py:343-556, param_out='bezier')."""
+
+    cfg: NetConfig
+
+    @nn.compact
+    def __call__(self, ctx, actors, tgt_feat, tgt_rpe):
+        # ctx [D], actors [A, D], tgt_feat [D], tgt_rpe [20]
+        cfg = self.cfg
+        H, M = cfg.d_embed, cfg.num_modes
+        F = cfg.pred_len
+        n_order = cfg.bezier_order
+
+        tgt_rpe_e = MLPBlock((H,))(tgt_rpe)
+        tgt = MLPBlock((H, H))(jnp.concatenate([tgt_feat, tgt_rpe_e], axis=-1))  # [H]
+
+        cls_embed = MLPBlock((H * M // 2, H * M))(ctx).reshape(M, H)
+        for _ in range(2):
+            cls_embed = SelfAttentionEncoderLayer(H, 4, H * 12)(cls_embed)
+
+        actor_embed = MLPBlock((H * M // 2, H * M))(actors).reshape(-1, M, H)  # [A, M, H]
+        actor_embed = jnp.transpose(actor_embed, (1, 0, 2))  # [M, A, H]
+
+        # ego (actor 0) gets the target-lane embedding in every mode
+        # (network.py:506-508: tgt_embed[0] broadcast over the mode axis of
+        # the [M, A, H] layout injects into actor row 0)
+        A = actors.shape[0]
+        tgt_embed = jnp.zeros_like(actor_embed).at[:, 0, :].set(tgt)
+
+        embed = cls_embed[:, None, :] + actor_embed + tgt_embed  # [M, A, H]
+
+        cls_logit = nn.Dense(1)(MLPBlock((H, H))(cls_embed))[:, 0]  # [M]
+        cls_prob = jax.nn.softmax(cls_logit)
+
+        param = nn.Dense((n_order + 1) * 5)(MLPBlock((H, H))(embed))
+        param = param.reshape(M, A, n_order + 1, 5)
+
+        mat_T = jnp.asarray(bezier_T(n_order, F), embed.dtype)     # [F, n+1]
+        mat_Tp = jnp.asarray(bezier_Tp(n_order, F), embed.dtype)   # [F, n]
+
+        reg_param = jnp.transpose(param[..., :2], (1, 0, 2, 3))    # [A, M, n+1, 2]
+        cov_param = jnp.transpose(param[..., 2:], (1, 0, 2, 3))    # [A, M, n+1, 3]
+        reg = jnp.einsum("fk,amkd->amfd", mat_T, reg_param)        # [A, M, F, 2]
+        vel = jnp.einsum("fk,amkd->amfd", mat_Tp,
+                         jnp.diff(reg_param, axis=2)) / (F * 0.1)
+        cov = jnp.einsum("fk,amkd->amfd", mat_T, cov_param)        # [A, M, F, 3]
+
+        reg_out = jnp.concatenate([reg, jnp.exp(cov)], axis=-1)    # [A, M, F, 5]
+        return cls_prob, reg_out, vel
+
+
+class ScenePredNet(nn.Module):
+    """Full scene predictor over one padded scene; vmapped over batches."""
+
+    cfg: NetConfig
+
+    @nn.compact
+    def __call__(self, actors, actor_mask, lanes, lane_mask, rpe,
+                 tgt_nodes, tgt_rpe) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        actor_feat = ActorNet(cfg.d_actor, cfg.n_fpn_scale)(actors)   # [A, D]
+        lane_net = LaneNet(cfg.d_lane)
+        lane_feat = lane_net(lanes)                                   # [L, D]
+        tgt_feat = lane_net(tgt_nodes[None])[0]                       # [D]
+
+        token_mask = jnp.concatenate(
+            [actor_mask, lane_mask, jnp.ones((1,), bool)], axis=0)
+        a_out, _, cls_tok = FusionNet(cfg)(actor_feat, lane_feat, rpe, token_mask)
+
+        return SceneDecoder(cfg)(cls_tok, a_out, tgt_feat, tgt_rpe)
+
+
+def init_scene_pred(cfg: NetConfig, max_actors: int, max_lanes: int, seed: int = 0):
+    """Initialize parameters against fixed-width dummy inputs and return
+    (model, params, batched_apply) where batched_apply vmaps over a leading
+    batch axis of tree nodes."""
+    model = ScenePredNet(cfg)
+    To = cfg.obs_len - 2
+    N = max_actors + max_lanes
+    dummy = (
+        jnp.zeros((max_actors, To, cfg.in_actor)),
+        jnp.ones((max_actors,), bool),
+        jnp.zeros((max_lanes, 10, cfg.in_lane)),
+        jnp.ones((max_lanes,), bool),
+        jnp.zeros((N, N, cfg.d_rpe_in)),
+        jnp.zeros((10, cfg.in_lane)),
+        jnp.zeros((20,)),
+    )
+    params = model.init(jax.random.PRNGKey(seed), *dummy)
+
+    def batched_apply(params, actors, actor_mask, lanes, lane_mask, rpe,
+                      tgt_nodes, tgt_rpe):
+        return jax.vmap(
+            lambda *xs: model.apply(params, *xs)
+        )(actors, actor_mask, lanes, lane_mask, rpe, tgt_nodes, tgt_rpe)
+
+    return model, params, batched_apply

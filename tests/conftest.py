@@ -3,10 +3,18 @@ paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# jax is pre-imported by the environment's sitecustomize with
+# JAX_PLATFORMS=axon (the remote TPU tunnel, high per-op latency); force the
+# CPU backend via the config API, which works post-import as long as no
+# backend has been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 from pathlib import Path  # noqa: E402
