@@ -113,6 +113,7 @@ class TrajTreeConfig:
     # fixed-width limits for the batched tree solve (new)
     max_cost_nodes: int = 192
     max_depth_levels: int = 32
+    max_width_hint: int = 16   # max cost nodes per depth level (= max leaves)
 
 
 @dataclass
@@ -131,9 +132,10 @@ class PlannerConfig:
     comfort_str_weight: float = 5.0
     efficiency_weight: float = 0.01
     target_weight: float = 0.01
-    # fixed paddings for jit-stable shapes (new)
-    max_actors: int = 32
-    max_lanes: int = 192
+    # fixed paddings for jit-stable shapes (new); defaults cover all four
+    # bundled demos (<=45 tracks, <=71 lane-graph segments)
+    max_actors: int = 48
+    max_lanes: int = 80
 
 
 @dataclass

@@ -1,0 +1,178 @@
+"""Trajectory-tree optimizer: scenario trees -> cost trees -> tree-iLQR.
+
+Capability twin of the reference's TrajectoryTreeOptimizer
+(planners/mind/trajectory_tree.py): one cost node per even prediction step
+(0.2 s effective dt), exo agents entering only through the potential field,
+two-phase solve (warm start on the target-lane field, then the full field
+from the warm controls). The cost tree becomes fixed-width index/data arrays
+(see planner/ilqr.py) and both phases run as one jitted, tree-vmapped call.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mind_tpu.common.tree import Tree, Node
+from mind_tpu.config import TrajTreeConfig, OptPhaseConfig
+from mind_tpu.ops.potential import NodeCostData, CostParams
+from mind_tpu.planner.ilqr import (
+    TreeTopology,
+    ILQRConfig,
+    ilqr_solve,
+    build_topology,
+)
+
+
+class CostTreeArrays(NamedTuple):
+    """One scenario tree flattened to cost-node arrays (padded to MN)."""
+
+    topo: TreeTopology
+    nodes: NodeCostData
+    n_nodes: np.ndarray  # [] int32 real cost-node count
+
+
+def flatten_scen_tree(scen_tree: Tree, actor_mask: np.ndarray,
+                      cfg: TrajTreeConfig, max_exo: int) -> CostTreeArrays:
+    """DFS over scenario nodes, one cost node per even step
+    (reference trajectory_tree.py:28-54,66-122)."""
+    MN = cfg.max_cost_nodes
+    parents: List[int] = []
+    probs: List[float] = []
+    ego_means: List[np.ndarray] = []
+    ego_covs: List[float] = []
+    exo_means: List[np.ndarray] = []
+    exo_covs: List[np.ndarray] = []
+
+    exo_valid = np.asarray(actor_mask)[1:]
+    n_exo = exo_valid.shape[0]
+
+    last_index = {}
+    stack = [scen_tree.get_root()]
+    while stack:
+        node = stack.pop()
+        prob, trajs, covs, _tgt = node.data
+        last = last_index[node.parent_key] if node.parent_key is not None else -1
+        duration = trajs.shape[1]
+        for i in range(0, duration, 2):
+            parents.append(last)
+            last = len(parents) - 1
+            probs.append(float(prob))
+            ego_means.append(trajs[0, i])
+            ego_covs.append(float(covs[0, i]))
+            em = np.full((max_exo, 2), 1e6, np.float32)
+            ec = np.zeros(max_exo, np.float32)
+            em[:n_exo] = trajs[1:, i]
+            ec[:n_exo] = covs[1:, i]
+            exo_means.append(em)
+            exo_covs.append(ec)
+        last_index[node.key] = len(parents) - 1
+        for ck in node.children_keys:
+            stack.append(scen_tree.get_node(ck))
+
+    n = len(parents)
+    topo = build_topology(parents, MN, cfg.max_depth_levels,
+                          max_width=cfg.max_width_hint)
+
+    def pad1(vals, fill=0.0):
+        out = np.full(MN, fill, np.float32)
+        out[:n] = vals
+        return out
+
+    exo_mask = np.zeros((MN, max_exo), bool)
+    exo_mask[:n] = exo_valid[None, :]
+
+    em = np.full((MN, max_exo, 2), 1e6, np.float32)
+    em[:n] = np.stack(exo_means)
+    ec = np.zeros((MN, max_exo), np.float32)
+    ec[:n] = np.stack(exo_covs)
+    egm = np.zeros((MN, 2), np.float32)
+    egm[:n] = np.stack(ego_means)
+
+    nodes = NodeCostData(
+        prob=jnp.asarray(pad1(probs)),
+        ego_mean=jnp.asarray(egm),
+        ego_cov=jnp.asarray(pad1(ego_covs)),
+        exo_mean=jnp.asarray(em),
+        exo_cov=jnp.asarray(ec),
+        exo_mask=jnp.asarray(exo_mask),
+    )
+    return CostTreeArrays(topo=topo, nodes=nodes, n_nodes=np.int32(n))
+
+
+def make_cost_params(phase: OptPhaseConfig, x0: np.ndarray,
+                     tgt_lane: np.ndarray, target_vel: float,
+                     max_tgt_pts: int, warm: bool) -> CostParams:
+    """Per-phase CostParams; the warm phase zeroes the ego/exo disc fields
+    (reference warm cost tree has only the target-lane field)."""
+    n, _ = phase.smooth_grid_size
+    res = phase.smooth_grid_res
+    # gen_dist_field offset (reference ilqr/utils.py:5-11)
+    field_size = (n - 1) * res
+    offset = np.array([x0[0] - 0.5 * field_size, x0[1] - 0.5 * field_size],
+                      np.float32)
+
+    P = max_tgt_pts
+    pts = np.full((P, 2), 1e6, np.float32)
+    m = min(len(tgt_lane), P)
+    pts[:m] = tgt_lane[:m]
+    seg_mask = np.zeros(P - 1, bool)
+    seg_mask[:m - 1] = True
+
+    return CostParams(
+        field_offset=jnp.asarray(offset),
+        res=jnp.float32(res),
+        grid_n=n,
+        tgt_seg_start=jnp.asarray(pts[:-1]),
+        tgt_seg_end=jnp.asarray(pts[1:]),
+        tgt_seg_mask=jnp.asarray(seg_mask),
+        w_tgt=jnp.float32(phase.w_tgt),
+        w_ego=jnp.float32(0.0 if warm else phase.w_ego),
+        w_ego_cov_offset=jnp.float32(phase.w_ego_cov_offset),
+        w_exo=jnp.float32(0.0 if warm else phase.w_exo),
+        w_exo_cov_offset=jnp.float32(phase.w_exo_cov_offset),
+        w_exo_cost_offset=jnp.float32(phase.w_exo_cost_offset),
+        w_des_state=jnp.asarray(np.diag(phase.w_des_state()), jnp.float32),
+        des_state=jnp.asarray([0, 0, target_vel, 0, 0, 0], jnp.float32),
+        w_state_con=jnp.asarray(np.diag(phase.w_state_con()), jnp.float32),
+        state_lb=jnp.asarray(phase.state_lower_bound, jnp.float32),
+        state_ub=jnp.asarray(phase.state_upper_bound, jnp.float32),
+        w_ctrl=jnp.asarray([phase.w_ctrl, phase.w_ctrl], jnp.float32),
+    )
+
+
+def two_phase_solve(topo: TreeTopology, x0, nodes: NodeCostData,
+                    warm_params: CostParams, full_params: CostParams,
+                    ilqr_cfg: ILQRConfig):
+    """Warm-start solve (target-lane cost only) then full solve from the warm
+    controls (reference planner.py:174-178)."""
+    MN = topo.parent.shape[0]
+    us0 = jnp.zeros((MN, 2), x0.dtype)
+    _, us_warm, _ = ilqr_solve(topo, x0, us0, nodes, warm_params, ilqr_cfg)
+    xs, us, info = ilqr_solve(topo, x0, us_warm, nodes, full_params, ilqr_cfg)
+    return xs, us, info
+
+
+def evaluate_traj_tree(xs, us, node_mask, n_nodes, x0,
+                       eval_seg_start, eval_seg_end, eval_seg_mask,
+                       target_vel, cfg_weights):
+    """Best-tree selection cost (reference planner.py:180-198): mean over
+    tree nodes (including the x0 root) of comfort + efficiency + target
+    distance terms."""
+    from mind_tpu.common.geometry import jx_point_segments_dist
+
+    comfort_acc_w, comfort_str_w, eff_w, tgt_w = cfg_weights
+
+    def node_cost(x, u, m):
+        d = jx_point_segments_dist(x[:2], eval_seg_start, eval_seg_end,
+                                   eval_seg_mask)
+        c = (comfort_acc_w * u[0] ** 2 + comfort_str_w * u[1] ** 2
+             + eff_w * (target_vel - x[2]) ** 2 + tgt_w * d)
+        return jnp.where(m, c, 0.0)
+
+    costs = jax.vmap(node_cost)(xs, us, node_mask)
+    root_cost = node_cost(x0, jnp.zeros(2, xs.dtype), True)
+    return (jnp.sum(costs) + root_cost) / (n_nodes + 1)
