@@ -1,0 +1,92 @@
+"""Scale-out workloads (BASELINE.json): parallel scenario trees with full
+iLQR contingency planning sharded over a device mesh.
+
+The solver (planner/ilqr.py) is shape-static and vmaps across trees; here the
+tree batch axis is sharded over the mesh's 'data' axis so each chip solves
+its slice and the only cross-chip traffic is the final gather — the layout
+that saturates ICI-attached v5e slices with thousands of contingency solves.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mind_tpu.ops.potential import NodeCostData, CostParams
+from mind_tpu.planner.ilqr import TreeTopology, ILQRConfig, ilqr_solve, build_topology
+
+
+def make_tree_batch(n_trees: int, n_nodes: int, max_nodes: int,
+                    max_levels: int, max_width: int, n_exo: int, seed: int = 0):
+    """A batch of randomized chain-with-branch cost trees for scale tests."""
+    rng = np.random.default_rng(seed)
+    # one chain topology shared (topology batching is supported but a shared
+    # static topology matches the 'parallel trees' config)
+    topo = build_topology(list(range(-1, n_nodes - 1)), max_nodes, max_levels,
+                          max_width=max_width)
+
+    lane = np.stack([np.linspace(-50, 200, 64), np.zeros(64)], axis=1)
+    params = CostParams(
+        field_offset=jnp.asarray([-51.0, -51.0], jnp.float32),
+        res=jnp.float32(0.4),
+        grid_n=256,
+        tgt_seg_start=jnp.asarray(lane[:-1], jnp.float32),
+        tgt_seg_end=jnp.asarray(lane[1:], jnp.float32),
+        tgt_seg_mask=jnp.ones(63, bool),
+        w_tgt=jnp.float32(1.0),
+        w_ego=jnp.float32(1.0),
+        w_ego_cov_offset=jnp.float32(1.0),
+        w_exo=jnp.float32(10.0),
+        w_exo_cov_offset=jnp.float32(2.5),
+        w_exo_cost_offset=jnp.float32(10.0),
+        w_des_state=jnp.asarray([0, 0, 0.1, 0, 1.0, 10.0], jnp.float32),
+        des_state=jnp.asarray([0, 0, 4.0, 0, 0, 0], jnp.float32),
+        w_state_con=jnp.asarray([0, 0, 50.0, 50.0, 50.0, 500.0], jnp.float32),
+        state_lb=jnp.asarray([-1e5, -1e5, 0.0, -10.0, -6.0, -0.2], jnp.float32),
+        state_ub=jnp.asarray([1e5, 1e5, 8.0, 10.0, 4.0, 0.2], jnp.float32),
+        w_ctrl=jnp.asarray([5.0, 5.0], jnp.float32),
+    )
+
+    MN = max_nodes
+    nodes = NodeCostData(
+        prob=jnp.ones((n_trees, MN), jnp.float32),
+        ego_mean=jnp.asarray(
+            rng.normal(0, 5, (n_trees, MN, 2)).astype(np.float32)),
+        ego_cov=jnp.full((n_trees, MN), 0.5, jnp.float32),
+        exo_mean=jnp.asarray(
+            rng.normal(10, 10, (n_trees, MN, n_exo, 2)).astype(np.float32)),
+        exo_cov=jnp.full((n_trees, MN, n_exo), 0.5, jnp.float32),
+        exo_mask=jnp.ones((n_trees, MN, n_exo), bool),
+    )
+    x0 = jnp.asarray(
+        rng.normal(0, 1, (n_trees, 6)).astype(np.float32))
+    return topo, nodes, params, x0
+
+
+def parallel_tree_solve(mesh: Mesh, topo: TreeTopology, nodes: NodeCostData,
+                        params: CostParams, x0: jnp.ndarray,
+                        ilqr_cfg: ILQRConfig = ILQRConfig(max_iterations=20)):
+    """Solve a [n_trees]-batch of contingency problems, trees sharded over
+    the mesh's 'data' axis. Returns (us [n_trees, MN, 2], J [n_trees])."""
+    MN = topo.parent.shape[0]
+    dp = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    nodes = jax.tree.map(lambda x: jax.device_put(x, dp), nodes)
+    x0 = jax.device_put(x0, dp)
+    topo = jax.tree.map(lambda x: jax.device_put(x, repl), topo)
+    params = jax.tree.map(
+        lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, params)
+
+    def solve(nodes_i, x0_i):
+        us0 = jnp.zeros((MN, 2), x0_i.dtype)
+        xs, us, info = ilqr_solve(topo, x0_i, us0, nodes_i, params, ilqr_cfg)
+        return us, info["J"]
+
+    fn = jax.jit(jax.vmap(solve))
+    us, J = fn(nodes, x0)
+    return us, J
