@@ -251,7 +251,19 @@ def init_scene_pred(cfg: NetConfig, max_actors: int, max_lanes: int, seed: int =
         jnp.zeros((10, cfg.in_lane)),
         jnp.zeros((20,)),
     )
-    params = model.init(jax.random.PRNGKey(seed), *dummy)
+    # initialize on the host CPU backend when available (accelerator-side
+    # init would compile the whole forward graph just to draw weights), then
+    # move the parameters to the default device once
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            params = model.init(jax.random.PRNGKey(seed), *dummy)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = model.init(jax.random.PRNGKey(seed), *dummy)
 
     def batched_apply(params, actors, actor_mask, lanes, lane_mask, rpe,
                       tgt_nodes, tgt_rpe):
