@@ -151,6 +151,9 @@ class MINDPlanner:
         self.ctrl: Optional[np.ndarray] = None
         self.gt_tgt_lane: Optional[np.ndarray] = None
         self.obs_buffer = ObsBuffer(cfg.max_actors)
+        from mind_tpu.utils.metrics import Metrics
+
+        self.metrics = Metrics()
 
         self._init_statics()
         self._init_network()
@@ -285,16 +288,23 @@ class MINDPlanner:
                        jnp.full_like(jnp.asarray(pos[..., 0]), 1e-5),
                        jnp.asarray(obs_flags))
 
-        scen_trees = self.scen_gen.branch_aime(
-            root_window, jnp.asarray(self.obs_buffer.types),
-            jnp.asarray(actor_mask), self.params)
+        with self.metrics.timer.phase("aime"):
+            scen_trees = self.scen_gen.branch_aime(
+                root_window, jnp.asarray(self.obs_buffer.types),
+                jnp.asarray(actor_mask), self.params)
         if not scen_trees:
+            self.metrics.incr("plan_failures")
             return False, None, None
+        self.metrics.incr("plans")
+        self.metrics.observe("scen_trees", len(scen_trees))
+        self.metrics.observe(
+            "scen_nodes", sum(st.size() for st in scen_trees))
 
         # flatten all scenario trees to padded cost arrays
-        arrays = [flatten_scen_tree(st, actor_mask, cfg.traj_tree,
-                                    max_exo=cfg.max_actors - 1)
-                  for st in scen_trees[:MAX_TREES]]
+        with self.metrics.timer.phase("flatten"):
+            arrays = [flatten_scen_tree(st, actor_mask, cfg.traj_tree,
+                                        max_exo=cfg.max_actors - 1)
+                      for st in scen_trees[:MAX_TREES]]
         n_real = len(arrays)
         while len(arrays) < MAX_TREES:
             arrays.append(arrays[0])
@@ -309,9 +319,10 @@ class MINDPlanner:
         full_p = make_cost_params(cfg.traj_tree.full, np.asarray(x0),
                                   self.gt_tgt_lane, tv, MAX_TGT_PTS, warm=False)
 
-        xs_b, us_b, cost_b, best = self._solve_fn(
-            topo_b, nodes_b, tree_mask, x0, warm_p, full_p, jnp.float32(tv))
-        best = int(best)
+        with self.metrics.timer.phase("solve"):
+            xs_b, us_b, cost_b, best = self._solve_fn(
+                topo_b, nodes_b, tree_mask, x0, warm_p, full_p, jnp.float32(tv))
+            best = int(best)
 
         # control = first cost node's [accel, steer] (planner.py:141-144)
         ctrl = np.asarray(xs_b[best, 0, 4:6], np.float64)
