@@ -11,6 +11,7 @@ the scenario with the same planner instance.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -19,6 +20,15 @@ BASELINE_STEPS_PER_SEC = 500.0 / 600.0
 
 
 def main():
+    import jax
+
+    # persistent compile cache: TPU compiles over the tunnel run minutes;
+    # cached executables bring warm starts down to seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import numpy as np
     from mind_tpu.config import SimConfig, planner_config_for_demo
     from mind_tpu.sim.simulator import Simulator
