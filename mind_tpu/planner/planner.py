@@ -1,10 +1,11 @@
-"""MINDPlanner facade: observation buffering, AIME, tree-iLQR, selection.
+"""MINDPlanner facade: device-resident observation buffer, fused AIME, and
+tree-vmapped two-phase iLQR with one host sync on each side of the solve.
 
 Host-side twin of the reference's MINDPlanner (planners/mind/planner.py)
-driving the device-side kernels: a rolling 10 Hz observation buffer, the
-jitted AIME rounds, a tree-vmapped two-phase iLQR solve, and min-cost tree
-selection. One planner instance serves one ego agent for a whole simulation;
-every jitted program compiles once (fixed paddings) on the first plan.
+re-shaped for a high-latency host<->device link: per plan cycle the host
+issues (1) the fused AIME program, (2) one small metadata pull, (3) the solve
+program over index arrays, (4) one control pull. Trajectory tensors never
+cross to the host except for optional visualization export.
 """
 
 from __future__ import annotations
@@ -31,14 +32,21 @@ from mind_tpu.planner.scene_prep import (
     LaneGraphStatic,
     TargetLaneStatic,
 )
-from mind_tpu.planner.scenario_tree import ScenarioTreeGenerator, PRED_LEN
+from mind_tpu.planner.scenario_tree import PRED_LEN, NodeSlots
+from mind_tpu.planner.aime_device import (
+    DeviceObsBuffer,
+    obs_buffer_update,
+    aime_grow_tree,
+)
 from mind_tpu.planner.trajectory_tree import (
-    flatten_scen_tree,
+    build_cost_indices,
+    gather_cost_nodes,
     make_cost_params,
     two_phase_solve,
     evaluate_traj_tree,
 )
 from mind_tpu.planner.ilqr import ILQRConfig
+from mind_tpu.utils.metrics import Metrics
 
 MAX_TREES = 6  # <= num modes root children
 MAX_TGT_PTS = 512
@@ -63,19 +71,18 @@ def type_onehot(obj_type: ObjectType) -> np.ndarray:
 
 
 class ObsBuffer:
-    """Rolling 10 Hz observation window per tracked agent
-    (reference planner.py:66-95). Fixed [A, 50] numpy arrays; new agents get
-    the next free slot; absent agents receive dummy unobserved frames."""
+    """Host shell around the device observation window: tracks id->slot
+    assignment and presence; the rolling [A, 50] arrays live on device and
+    update with one async dispatch per plan trigger."""
 
     def __init__(self, max_actors: int):
         self.A = max_actors
         self.slots: Dict[str, int] = {}
-        self.pos = np.zeros((max_actors, OBS_LEN, 2), np.float32)
-        self.ang = np.zeros((max_actors, OBS_LEN), np.float32)
-        self.vel = np.zeros((max_actors, OBS_LEN, 2), np.float32)
-        self.observed = np.zeros((max_actors, OBS_LEN), bool)
         self.types = np.zeros((max_actors, 7), np.float32)
         self.active = np.zeros(max_actors, bool)
+        self.last_present = np.zeros(max_actors, bool)
+        self.buf = DeviceObsBuffer.create(max_actors)
+        self._update_fn = jax.jit(obs_buffer_update)
 
     def _slot(self, track_id: str, obj_type: ObjectType) -> Optional[int]:
         if track_id in self.slots:
@@ -91,50 +98,23 @@ class ObsBuffer:
 
     def update(self, observations):
         """observations: list of (track_id, state[x,y,v,yaw], obj_type);
-        the ego must be first with track_id 'AV'."""
-        self.pos = np.roll(self.pos, -1, axis=1)
-        self.ang = np.roll(self.ang, -1, axis=1)
-        self.vel = np.roll(self.vel, -1, axis=1)
-        self.observed = np.roll(self.observed, -1, axis=1)
-        # default: dummy frame repeating previous values, unobserved
-        self.pos[:, -1] = self.pos[:, -2]
-        self.ang[:, -1] = self.ang[:, -2]
-        self.vel[:, -1] = self.vel[:, -2]
-        self.observed[:, -1] = False
-
+        the ego must be first with track_id 'AV' (slot 0)."""
+        states = np.zeros((self.A, 4), np.float32)
+        present = np.zeros(self.A, bool)
         for track_id, state, obj_type in observations:
             s = self._slot(track_id, obj_type)
             if s is None:
                 continue
-            x, y, v, yaw = state
-            self.pos[s, -1] = (x, y)
-            self.ang[s, -1] = yaw
-            self.vel[s, -1] = (v * np.cos(yaw), v * np.sin(yaw))
-            self.observed[s, -1] = True
+            states[s] = state
+            present[s] = True
+        self.last_present = present
+        self.buf = self._update_fn(self.buf, jnp.asarray(states),
+                                   jnp.asarray(present))
 
-    def root_window(self):
-        """NN-filled window + masks (reference utils.py:245-342 semantics):
-        actors valid iff observed at the last frame; pos/ang nearest-neighbor
-        filled over unobserved frames, velocity zero-filled."""
-        A = self.A
-        pos = self.pos.copy()
-        ang = self.ang.copy()
-        vel = self.vel.copy()
-        vel[~self.observed] = 0.0
-        # forward then backward fill pos/ang per agent
-        for arr in (pos, ang):
-            for a in range(A):
-                obs_idx = np.flatnonzero(self.observed[a])
-                if len(obs_idx) == 0:
-                    continue
-                idx = np.arange(OBS_LEN)
-                # nearest previous observed index (forward fill)
-                prev = np.maximum.accumulate(
-                    np.where(self.observed[a], idx, -1))
-                filled = np.where(prev >= 0, prev, obs_idx[0])
-                arr[a] = arr[a][filled]
-        actor_mask = self.active & self.observed[:, -1]
-        return pos, ang, vel, self.observed.astype(np.float32), actor_mask
+    def actor_mask(self) -> np.ndarray:
+        """Agents predicted this plan: active and observed at the last frame
+        (reference utils.py:274-276)."""
+        return self.active & self.last_present
 
 
 class MINDPlanner:
@@ -142,7 +122,7 @@ class MINDPlanner:
     update_observation / update_state_ctrl / update_target_lane / plan."""
 
     def __init__(self, cfg: PlannerConfig, smp: SemanticMap,
-                 lcl_smp: LocalSemanticMap):
+                 lcl_smp: LocalSemanticMap, export_trees: bool = True):
         self.cfg = cfg
         self.obs_len = cfg.obs_len
         self.smp = smp
@@ -151,14 +131,12 @@ class MINDPlanner:
         self.ctrl: Optional[np.ndarray] = None
         self.gt_tgt_lane: Optional[np.ndarray] = None
         self.obs_buffer = ObsBuffer(cfg.max_actors)
-        from mind_tpu.utils.metrics import Metrics
-
         self.metrics = Metrics()
+        self.export_trees = export_trees
 
         self._init_statics()
         self._init_network()
-        self._init_generators()
-        self._solve_fn = jax.jit(self._make_solve_fn())
+        self._init_programs()
 
     # ------------------------------------------------------------------
     def _init_statics(self):
@@ -215,7 +193,7 @@ class MINDPlanner:
         evm = np.zeros(S - 1, bool)
         evm[:len(ev) - 1] = True
         self._eval_segs = (jnp.asarray(evp[:-1]), jnp.asarray(evp[1:]),
-                          jnp.asarray(evm))
+                           jnp.asarray(evm))
 
     def _init_network(self):
         cfg = self.cfg
@@ -228,41 +206,58 @@ class MINDPlanner:
             if loaded is not None:
                 self.params = loaded
 
-    def _init_generators(self):
-        self.scen_gen = ScenarioTreeGenerator(
-            self.cfg, self.batched_apply, self.params,
-            self.lane_static, self.tgt_static, self.cfg.max_actors)
+    def _init_programs(self):
+        cfg = self.cfg
         self.ilqr_cfg = ILQRConfig(
-            dt=self.cfg.traj_tree.dt,
-            wheelbase=self.cfg.traj_tree.wheelbase,
-            max_iterations=self.cfg.traj_tree.max_iterations,
-            rel_tol=self.cfg.traj_tree.rel_tol,
-            n_line_search=self.cfg.traj_tree.n_line_search,
-            mu_max=self.cfg.traj_tree.max_reg,
+            dt=cfg.traj_tree.dt,
+            wheelbase=cfg.traj_tree.wheelbase,
+            max_iterations=cfg.traj_tree.max_iterations,
+            rel_tol=cfg.traj_tree.rel_tol,
+            n_line_search=cfg.traj_tree.n_line_search,
+            mu_max=cfg.traj_tree.max_reg,
         )
 
-    def _make_solve_fn(self):
-        cfg = self.cfg
+        MN = cfg.scen_tree.max_tree_nodes
+
+        def aime_fn(params, buf, types, amask):
+            state, meta = aime_grow_tree(
+                params, self.batched_apply, cfg, buf, types, amask,
+                self.lane_static, self.tgt_static)
+            packed = jnp.concatenate([
+                meta.parent.astype(jnp.float32),
+                meta.duration.astype(jnp.float32),
+                meta.end_flag.astype(jnp.float32),
+                meta.tree_id.astype(jnp.float32),
+                meta.norm_prob,
+                jnp.array([meta.n_nodes], jnp.float32),
+            ])
+            return state, meta, packed
+
+        self._aime_fn = jax.jit(aime_fn)
+
         weights = (cfg.comfort_acc_weight, cfg.comfort_str_weight,
                    cfg.efficiency_weight, cfg.target_weight)
 
-        def solve_all(topo_b, nodes_b, tree_mask, x0,
-                      warm_params, full_params, target_vel):
-            def one(topo, nodes):
+        def solve_fn(slots, norm_prob, amask, topo_b, cost_slot_b, cost_step_b,
+                     tree_mask, x0, warm_params, full_params, target_vel):
+            def one(topo, cs, st):
+                nodes = gather_cost_nodes(slots, norm_prob, cs, st,
+                                          topo.node_mask, amask)
                 xs, us, info = two_phase_solve(
                     topo, x0, nodes, warm_params, full_params, self.ilqr_cfg)
                 cost = evaluate_traj_tree(
-                    xs, us, topo.node_mask,
-                    jnp.sum(topo.node_mask), x0,
+                    xs, us, topo.node_mask, jnp.sum(topo.node_mask), x0,
                     *self._eval_segs, target_vel, weights)
                 return xs, us, cost
 
-            xs_b, us_b, cost_b = jax.vmap(one)(topo_b, nodes_b)
+            xs_b, us_b, cost_b = jax.vmap(one)(topo_b, cost_slot_b, cost_step_b)
             cost_b = jnp.where(tree_mask, cost_b, jnp.inf)
             best = jnp.argmin(cost_b)
-            return xs_b, us_b, cost_b, best
+            # control = first cost node's [accel, steer] (planner.py:141-144)
+            ctrl = xs_b[best, 0, 4:6]
+            return xs_b, us_b, cost_b, best, ctrl
 
-        return solve_all
+        self._solve_fn = jax.jit(solve_fn)
 
     # ------------------------------------------------------------------
     # reference public surface
@@ -279,67 +274,124 @@ class MINDPlanner:
 
     def plan(self) -> Tuple[bool, Optional[np.ndarray], Optional[list]]:
         cfg = self.cfg
-        pos, ang, vel, obs_flags, actor_mask = self.obs_buffer.root_window()
+        MN = cfg.scen_tree.max_tree_nodes
+        actor_mask = self.obs_buffer.actor_mask()
         if not actor_mask[0]:
             return False, None, None  # no ego observation yet
-
-        # window order: pos, ang, vel, cov (1e-5 at the root), observed
-        root_window = (jnp.asarray(pos), jnp.asarray(ang), jnp.asarray(vel),
-                       jnp.full_like(jnp.asarray(pos[..., 0]), 1e-5),
-                       jnp.asarray(obs_flags))
+        amask_d = jnp.asarray(actor_mask)
 
         with self.metrics.timer.phase("aime"):
-            scen_trees = self.scen_gen.branch_aime(
-                root_window, jnp.asarray(self.obs_buffer.types),
-                jnp.asarray(actor_mask), self.params)
-        if not scen_trees:
+            state, meta, packed = self._aime_fn(
+                self.params, self.obs_buffer.buf,
+                jnp.asarray(self.obs_buffer.types), amask_d)
+            packed_np = np.asarray(packed)  # the one AIME-side sync
+
+        parent = packed_np[0:MN].astype(np.int32)
+        duration = packed_np[MN:2 * MN].astype(np.int32)
+        end_flag = packed_np[2 * MN:3 * MN] > 0.5
+        tree_id = packed_np[3 * MN:4 * MN].astype(np.int32)
+        n_nodes = int(packed_np[5 * MN])
+
+        if not end_flag.any():
             self.metrics.incr("plan_failures")
             return False, None, None
         self.metrics.incr("plans")
-        self.metrics.observe("scen_trees", len(scen_trees))
-        self.metrics.observe(
-            "scen_nodes", sum(st.size() for st in scen_trees))
 
-        # flatten all scenario trees to padded cost arrays
         with self.metrics.timer.phase("flatten"):
-            arrays = [flatten_scen_tree(st, actor_mask, cfg.traj_tree,
-                                        max_exo=cfg.max_actors - 1)
-                      for st in scen_trees[:MAX_TREES]]
-        n_real = len(arrays)
-        while len(arrays) < MAX_TREES:
-            arrays.append(arrays[0])
-        topo_b = jax.tree.map(lambda *xs: jnp.stack(xs), *[a.topo for a in arrays])
-        nodes_b = jax.tree.map(lambda *xs: jnp.stack(xs), *[a.nodes for a in arrays])
-        tree_mask = jnp.asarray([i < n_real for i in range(MAX_TREES)])
+            trees = build_cost_indices(parent, duration, end_flag, tree_id,
+                                       cfg.traj_tree)
+            trees = trees[:MAX_TREES]
+            n_real = len(trees)
+            while len(trees) < MAX_TREES:
+                trees.append(trees[0])
+            topo_b = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *[t[0] for t in trees])
+            cost_slot_b = jnp.asarray(np.stack([t[1] for t in trees]))
+            cost_step_b = jnp.asarray(np.stack([t[2] for t in trees]))
+            tree_mask = jnp.asarray(
+                [i < n_real for i in range(MAX_TREES)])
+            self.metrics.observe("scen_trees", n_real)
+            self.metrics.observe("scen_nodes", n_nodes)
 
         x0 = jnp.asarray([*self.state, *self.ctrl], jnp.float32)
         tv = float(self.lcl_smp.target_velocity)
-        warm_p = make_cost_params(cfg.traj_tree.warm, np.asarray(x0),
+        warm_p = make_cost_params(cfg.traj_tree.warm, np.asarray(self.state),
                                   self.gt_tgt_lane, tv, MAX_TGT_PTS, warm=True)
-        full_p = make_cost_params(cfg.traj_tree.full, np.asarray(x0),
+        full_p = make_cost_params(cfg.traj_tree.full, np.asarray(self.state),
                                   self.gt_tgt_lane, tv, MAX_TGT_PTS, warm=False)
 
         with self.metrics.timer.phase("solve"):
-            xs_b, us_b, cost_b, best = self._solve_fn(
-                topo_b, nodes_b, tree_mask, x0, warm_p, full_p, jnp.float32(tv))
-            best = int(best)
+            xs_b, us_b, cost_b, best_d, ctrl_d = self._solve_fn(
+                state.slots, meta.norm_prob, amask_d, topo_b,
+                cost_slot_b, cost_step_b, tree_mask, x0, warm_p, full_p,
+                jnp.float32(tv))
+            ctrl = np.asarray(ctrl_d, np.float64)  # the one solve-side sync
 
-        # control = first cost node's [accel, steer] (planner.py:141-144)
-        ctrl = np.asarray(xs_b[best, 0, 4:6], np.float64)
+        if not np.isfinite(ctrl).all():
+            self.metrics.incr("plan_failures")
+            return False, None, None
 
-        # host trajectory tree for visualization / evaluation
-        traj_tree = self._export_traj_tree(
-            arrays[best], np.asarray(xs_b[best]), np.asarray(us_b[best]),
-            np.asarray(x0))
-        return True, ctrl, [[scen_trees[best]], [traj_tree]]
+        if not self.export_trees:
+            return True, ctrl, None
+
+        with self.metrics.timer.phase("export"):
+            best = int(best_d)
+            scen_tree = self._export_scen_tree(
+                state.slots, parent, duration, end_flag, tree_id,
+                np.asarray(meta.norm_prob), actor_mask, best)
+            traj_tree = self._export_traj_tree(
+                trees[best][0], np.asarray(xs_b[best]), np.asarray(us_b[best]),
+                np.asarray(x0))
+        return True, ctrl, [[scen_tree], [traj_tree]]
+
+    # ------------------------------------------------------------------
+    def _export_scen_tree(self, slots: NodeSlots, parent, duration, end_flag,
+                          tree_id, norm_prob, actor_mask, best: int) -> Tree:
+        """Pull the best tree's node trajectories for visualization
+        (reference get_scenario_tree export, scenario_tree.py:243-272)."""
+        roots = sorted({int(t) for t in np.unique(tree_id) if t >= 0})
+        rc = roots[best]
+        members = [i for i in np.flatnonzero(end_flag) if tree_id[i] == rc]
+        ids = jnp.asarray(members)
+        pos = np.asarray(slots.pos[ids])
+        cov = np.asarray(slots.cov[ids])
+        tgt = np.asarray(slots.tgt_pts[ids])
+        row = {k: i for i, k in enumerate(members)}
+
+        tree = Tree()
+        # BFS insertion: root child first, then children by parent links
+        inserted = set()
+        queue = [rc]
+        tree.add_node(Node(rc, None, self._payload(rc, row, pos, cov, tgt,
+                                                   duration, norm_prob,
+                                                   actor_mask)))
+        inserted.add(rc)
+        while queue:
+            k = queue.pop(0)
+            for c in members:
+                if int(parent[c]) == k and c not in inserted:
+                    tree.add_node(Node(c, k, self._payload(
+                        c, row, pos, cov, tgt, duration, norm_prob,
+                        actor_mask)))
+                    inserted.add(c)
+                    queue.append(c)
+        return tree
 
     @staticmethod
-    def _export_traj_tree(arrays, xs, us, x0) -> Tree:
+    def _payload(i, row, pos, cov, tgt, duration, norm_prob, actor_mask):
+        d = int(duration[i])
+        r = row[i]
+        traj = pos[r][actor_mask, OBS_LEN:OBS_LEN + d]
+        cv = cov[r][actor_mask, OBS_LEN:OBS_LEN + d]
+        return [float(norm_prob[i]), traj, cv, tgt[r]]
+
+    @staticmethod
+    def _export_traj_tree(topo, xs, us, x0) -> Tree:
         tree = Tree()
         tree.add_node(Node(-1, None, [x0, np.zeros(2)]))
-        parent = np.asarray(arrays.topo.parent)
-        n = int(arrays.n_nodes)
-        for i in range(n):
+        parent = np.asarray(topo.parent)
+        mask = np.asarray(topo.node_mask)
+        for i in range(int(mask.sum())):
             p = int(parent[i])
             tree.add_node(Node(i, p if p >= 0 else -1, [xs[i], us[i]]))
         return tree

@@ -103,6 +103,73 @@ def flatten_scen_tree(scen_tree: Tree, actor_mask: np.ndarray,
     return CostTreeArrays(topo=topo, nodes=nodes, n_nodes=np.int32(n))
 
 
+def build_cost_indices(parent: np.ndarray, duration: np.ndarray,
+                       end_flag: np.ndarray, tree_id: np.ndarray,
+                       cfg: TrajTreeConfig):
+    """Host-side: AIME meta arrays -> per-tree cost-node index arrays.
+
+    Same construction as flatten_scen_tree but without touching trajectories:
+    cost node k of a tree references (scen slot, even step) pairs; the actual
+    means/covs are gathered ON DEVICE by gather_cost_nodes. Returns a list of
+    (topo, cost_slot [MN], cost_step [MN]) per scenario tree.
+    """
+    MN = cfg.max_cost_nodes
+    roots = sorted({int(t) for t in np.unique(tree_id) if t >= 0})
+    # children lists over end-flagged nodes
+    kids = {}
+    for i in np.flatnonzero(end_flag):
+        p = int(parent[i])
+        if p >= 0:
+            kids.setdefault(p, []).append(int(i))
+
+    out = []
+    for rc in roots:
+        parents_c, slots_c, steps_c = [], [], []
+        last_index = {}
+        stack = [(rc, -1)]
+        while stack:
+            node, last = stack.pop()
+            d = int(duration[node])
+            for s in range(0, d, 2):
+                parents_c.append(last)
+                last = len(parents_c) - 1
+                slots_c.append(node)
+                steps_c.append(s)
+            last_index[node] = last
+            for c in kids.get(node, []):
+                stack.append((c, last))
+        topo = build_topology(parents_c, MN, cfg.max_depth_levels,
+                              max_width=cfg.max_width_hint)
+        cs = np.zeros(MN, np.int32)
+        cs[:len(slots_c)] = slots_c
+        st = np.zeros(MN, np.int32)
+        st[:len(steps_c)] = steps_c
+        out.append((topo, cs, st))
+    return out
+
+
+def gather_cost_nodes(slots, norm_prob, cost_slot, cost_step, node_mask,
+                      actor_mask) -> NodeCostData:
+    """Device-side: gather per-cost-node data from the tree slots.
+
+    Scenario-node trajectory slice [OBS_LEN : OBS_LEN+duration] step i maps
+    to hist index OBS_LEN + i (scenario_tree export semantics)."""
+    OBS = 50
+    t = OBS + cost_step                        # [MN]
+    # advanced indices (cost_slot, t) around the agent slice put the gathered
+    # [MN] axis first: pos_t [MN, A, 2], cov_t [MN, A]
+    pos_t = slots.pos[cost_slot, :, t]
+    cov_t = slots.cov[cost_slot, :, t]
+    return NodeCostData(
+        prob=norm_prob[cost_slot] * node_mask,
+        ego_mean=pos_t[:, 0],
+        ego_cov=cov_t[:, 0],
+        exo_mean=pos_t[:, 1:],
+        exo_cov=cov_t[:, 1:],
+        exo_mask=node_mask[:, None] & actor_mask[None, 1:],
+    )
+
+
 def make_cost_params(phase: OptPhaseConfig, x0: np.ndarray,
                      tgt_lane: np.ndarray, target_vel: float,
                      max_tgt_pts: int, warm: bool) -> CostParams:
