@@ -127,6 +127,8 @@ def test_flatten_scen_tree():
 
 
 def test_obs_buffer_rolling():
+    from mind_tpu.planner.aime_device import nn_fill_window
+
     buf = ObsBuffer(4)
     for t in range(60):
         obs = [("AV", np.array([t * 1.0, 0.0, 1.0, 0.0]), ObjectType.VEHICLE)]
@@ -134,7 +136,8 @@ def test_obs_buffer_rolling():
             obs.append(("exo1", np.array([0.0, t * 1.0, 2.0, np.pi / 2]),
                         ObjectType.PEDESTRIAN))
         buf.update(obs)
-    pos, ang, vel, flags, mask = buf.root_window()
+    pos, ang, vel, flags = map(np.asarray, nn_fill_window(buf.buf))
+    mask = buf.actor_mask()
     assert buf.slots["AV"] == 0
     assert mask[0] and mask[1] and not mask[2]
     # AV observed for all 50 frames; last pos = 59
@@ -147,6 +150,8 @@ def test_obs_buffer_rolling():
 
 
 def test_obs_buffer_nn_fill():
+    from mind_tpu.planner.aime_device import nn_fill_window
+
     buf = ObsBuffer(4)
     # agent appears only for the last 5 frames
     for t in range(50):
@@ -155,7 +160,8 @@ def test_obs_buffer_nn_fill():
             obs.append(("late", np.array([100.0 + t, 5.0, 1.0, 0.0]),
                         ObjectType.VEHICLE))
         buf.update(obs)
-    pos, ang, vel, flags, mask = buf.root_window()
+    pos, ang, vel, flags = map(np.asarray, nn_fill_window(buf.buf))
+    mask = buf.actor_mask()
     s = buf.slots["late"]
     assert mask[s]
     assert not flags[s, 0] and flags[s, -1]
