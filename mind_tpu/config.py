@@ -105,9 +105,12 @@ class TrajTreeConfig:
     wheelbase: float = 2.5
     warm: OptPhaseConfig = field(default_factory=OptPhaseConfig)
     full: OptPhaseConfig = field(default_factory=OptPhaseConfig)
-    # iLQR solver budget (reference solver.py)
+    # iLQR solver budget (reference solver.py uses rel_tol 1e-6 in float64;
+    # in on-chip float32 that threshold is below cost-sum resolution and the
+    # solver would always burn max_iterations, so the default is 1e-5 —
+    # controls agree to ~1e-4)
     max_iterations: int = 100
-    rel_tol: float = 1e-6
+    rel_tol: float = 1e-5
     n_line_search: int = 10
     max_reg: float = 1e10
     # fixed-width limits for the batched tree solve (new)

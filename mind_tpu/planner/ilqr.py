@@ -306,12 +306,16 @@ def ilqr_solve(topo: TreeTopology, x0: jnp.ndarray, us_init: jnp.ndarray,
 
 
 def build_topology(parent_list, max_nodes: int, max_levels: int,
-                   max_width: int | None = None) -> TreeTopology:
+                   max_width: int | None = None,
+                   as_numpy: bool = False) -> TreeTopology:
     """Host helper: parent indices (-1 root-attached) -> padded TreeTopology.
 
     Nodes must be indexed in a topological order (parents before children),
     which the cost-tree builder guarantees. Pass `max_width` to get
-    stack-compatible tables across trees of different shapes (for vmap).
+    stack-compatible tables across trees of different shapes (for vmap), and
+    `as_numpy=True` to defer device upload (callers stacking many trees
+    should upload once, not per tree — device_put latency is ~40 ms over the
+    TPU tunnel).
     """
     import numpy as np
 
@@ -333,6 +337,8 @@ def build_topology(parent_list, max_nodes: int, max_levels: int,
     table = np.full((max_levels, width), -1, np.int32)
     for l, ids in enumerate(levels):
         table[l, :len(ids)] = ids
+    if as_numpy:
+        return TreeTopology(parent=parent, node_mask=mask, level_table=table)
     return TreeTopology(parent=jnp.asarray(parent),
                         node_mask=jnp.asarray(mask),
                         level_table=jnp.asarray(table))

@@ -83,6 +83,12 @@ class ObsBuffer:
         self.last_present = np.zeros(max_actors, bool)
         self.buf = DeviceObsBuffer.create(max_actors)
         self._update_fn = jax.jit(obs_buffer_update)
+        # device-copy caches (uploads cost ~40 ms latency over the tunnel)
+        self._types_d = None
+        self._types_ver = -1
+        self._ver = 0
+        self._mask_d = None
+        self._mask_key = None
 
     def _slot(self, track_id: str, obj_type: ObjectType) -> Optional[int]:
         if track_id in self.slots:
@@ -94,6 +100,7 @@ class ObsBuffer:
         self.slots[track_id] = s
         self.active[s] = True
         self.types[s] = type_onehot(obj_type)
+        self._ver += 1
         return s
 
     def update(self, observations):
@@ -115,6 +122,19 @@ class ObsBuffer:
         """Agents predicted this plan: active and observed at the last frame
         (reference utils.py:274-276)."""
         return self.active & self.last_present
+
+    def types_device(self):
+        if self._types_ver != self._ver:
+            self._types_d = jnp.asarray(self.types)
+            self._types_ver = self._ver
+        return self._types_d
+
+    def mask_device(self, mask: np.ndarray):
+        key = mask.tobytes()
+        if self._mask_key != key:
+            self._mask_d = jnp.asarray(mask)
+            self._mask_key = key
+        return self._mask_d
 
 
 class MINDPlanner:
@@ -248,16 +268,44 @@ class MINDPlanner:
                 cost = evaluate_traj_tree(
                     xs, us, topo.node_mask, jnp.sum(topo.node_mask), x0,
                     *self._eval_segs, target_vel, weights)
-                return xs, us, cost
+                return xs, us, cost, info["iterations"]
 
-            xs_b, us_b, cost_b = jax.vmap(one)(topo_b, cost_slot_b, cost_step_b)
+            xs_b, us_b, cost_b, its = jax.vmap(one)(topo_b, cost_slot_b,
+                                                    cost_step_b)
             cost_b = jnp.where(tree_mask, cost_b, jnp.inf)
             best = jnp.argmin(cost_b)
             # control = first cost node's [accel, steer] (planner.py:141-144)
             ctrl = xs_b[best, 0, 4:6]
-            return xs_b, us_b, cost_b, best, ctrl
+            # everything the host needs, in one small pull
+            packed = jnp.concatenate([
+                ctrl,
+                jnp.array([best], jnp.float32),
+                jnp.array([jnp.max(jnp.where(tree_mask, its, 0))], jnp.float32),
+            ])
+            return xs_b, us_b, packed
 
         self._solve_fn = jax.jit(solve_fn)
+
+    def _cost_params(self):
+        """Static parts of the warm/full CostParams (built once; only the
+        state-centered grid origin changes per plan)."""
+        if not hasattr(self, "_cost_params_cache"):
+            cfg = self.cfg
+            tv = float(self.lcl_smp.target_velocity)
+            zero = np.zeros(6)
+            self._cost_params_cache = (
+                make_cost_params(cfg.traj_tree.warm, zero, self.gt_tgt_lane,
+                                 tv, MAX_TGT_PTS, warm=True),
+                make_cost_params(cfg.traj_tree.full, zero, self.gt_tgt_lane,
+                                 tv, MAX_TGT_PTS, warm=False),
+            )
+        return self._cost_params_cache
+
+    def _field_offset(self, state: np.ndarray):
+        ph = self.cfg.traj_tree.full
+        n, _ = ph.smooth_grid_size
+        half = 0.5 * (n - 1) * ph.smooth_grid_res
+        return jnp.asarray([state[0] - half, state[1] - half], jnp.float32)
 
     # ------------------------------------------------------------------
     # reference public surface
@@ -278,12 +326,12 @@ class MINDPlanner:
         actor_mask = self.obs_buffer.actor_mask()
         if not actor_mask[0]:
             return False, None, None  # no ego observation yet
-        amask_d = jnp.asarray(actor_mask)
+        amask_d = self.obs_buffer.mask_device(actor_mask)
 
         with self.metrics.timer.phase("aime"):
             state, meta, packed = self._aime_fn(
                 self.params, self.obs_buffer.buf,
-                jnp.asarray(self.obs_buffer.types), amask_d)
+                self.obs_buffer.types_device(), amask_d)
             packed_np = np.asarray(packed)  # the one AIME-side sync
 
         parent = packed_np[0:MN].astype(np.int32)
@@ -304,28 +352,33 @@ class MINDPlanner:
             n_real = len(trees)
             while len(trees) < MAX_TREES:
                 trees.append(trees[0])
-            topo_b = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                  *[t[0] for t in trees])
+            # numpy-stack everything, upload once (eager per-tree device ops
+            # cost ~40 ms each over the tunnel)
+            topo_b = jax.tree.map(
+                lambda *xs: jnp.asarray(np.stack(xs)), *[t[0] for t in trees])
             cost_slot_b = jnp.asarray(np.stack([t[1] for t in trees]))
             cost_step_b = jnp.asarray(np.stack([t[2] for t in trees]))
             tree_mask = jnp.asarray(
-                [i < n_real for i in range(MAX_TREES)])
+                np.arange(MAX_TREES) < n_real)
             self.metrics.observe("scen_trees", n_real)
             self.metrics.observe("scen_nodes", n_nodes)
 
         x0 = jnp.asarray([*self.state, *self.ctrl], jnp.float32)
         tv = float(self.lcl_smp.target_velocity)
-        warm_p = make_cost_params(cfg.traj_tree.warm, np.asarray(self.state),
-                                  self.gt_tgt_lane, tv, MAX_TGT_PTS, warm=True)
-        full_p = make_cost_params(cfg.traj_tree.full, np.asarray(self.state),
-                                  self.gt_tgt_lane, tv, MAX_TGT_PTS, warm=False)
+        warm_p, full_p = self._cost_params()
+        # only the grid origin depends on the current state
+        offset = self._field_offset(np.asarray(self.state))
+        warm_p = warm_p._replace(field_offset=offset)
+        full_p = full_p._replace(field_offset=offset)
 
         with self.metrics.timer.phase("solve"):
-            xs_b, us_b, cost_b, best_d, ctrl_d = self._solve_fn(
+            xs_b, us_b, packed_s = self._solve_fn(
                 state.slots, meta.norm_prob, amask_d, topo_b,
                 cost_slot_b, cost_step_b, tree_mask, x0, warm_p, full_p,
                 jnp.float32(tv))
-            ctrl = np.asarray(ctrl_d, np.float64)  # the one solve-side sync
+            small = np.asarray(packed_s)  # the one solve-side sync
+        ctrl = small[:2].astype(np.float64)
+        self.metrics.observe("ilqr_iterations", float(small[3]))
 
         if not np.isfinite(ctrl).all():
             self.metrics.incr("plan_failures")
@@ -335,7 +388,7 @@ class MINDPlanner:
             return True, ctrl, None
 
         with self.metrics.timer.phase("export"):
-            best = int(best_d)
+            best = int(small[2])
             scen_tree = self._export_scen_tree(
                 state.slots, parent, duration, end_flag, tree_id,
                 np.asarray(meta.norm_prob), actor_mask, best)

@@ -139,7 +139,7 @@ def build_cost_indices(parent: np.ndarray, duration: np.ndarray,
             for c in kids.get(node, []):
                 stack.append((c, last))
         topo = build_topology(parents_c, MN, cfg.max_depth_levels,
-                              max_width=cfg.max_width_hint)
+                              max_width=cfg.max_width_hint, as_numpy=True)
         cs = np.zeros(MN, np.int32)
         cs[:len(slots_c)] = slots_c
         st = np.zeros(MN, np.int32)
