@@ -90,6 +90,35 @@ def resample_polyline(polyline: np.ndarray, interval: float = 1.0):
     return np.array(pts), np.array(src)
 
 
+def is_inside_ellipse(point, mean, cov, chi2=5.991):
+    """Point within the 95% confidence ellipse of a 2D Gaussian
+    (reference common/geometry.py:3-5)."""
+    d = point - mean
+    return float(d.T @ np.linalg.inv(cov) @ d) <= chi2
+
+
+def ellipse_points(mean, cov, n=20, chi2=5.991):
+    """Boundary points of the confidence ellipse (common/geometry.py:8-16)."""
+    vals, vecs = np.linalg.eigh(cov)
+    theta = np.linspace(0, 2 * np.pi, n)
+    a, b = np.sqrt(np.abs(vals) * chi2)
+    pts = vecs @ np.stack([a * np.cos(theta), b * np.sin(theta)])
+    return (pts + np.asarray(mean)[:, None]).T
+
+
+def mahalanobis_distances(points, mean, cov):
+    """Per-point Mahalanobis distance (common/geometry.py:19-24)."""
+    v = points - mean
+    left = v @ np.linalg.inv(cov)
+    return np.sqrt(np.sum(left * v, axis=1))
+
+
+def point_mean_distances(points, mean):
+    """Euclidean distances to a mean point (common/geometry.py:27-30)."""
+    v = points - mean
+    return np.sqrt(np.sum(v * v, axis=1))
+
+
 # --------------------------------------------------------------------------
 # device / jax
 # --------------------------------------------------------------------------

@@ -162,6 +162,26 @@ def bezier_Tp(n_order: int, n_step: int) -> np.ndarray:
     ], axis=1)
 
 
+def monomial_T(n_order: int, n_step: int) -> np.ndarray:
+    ts = np.linspace(0.0, 1.0, n_step, endpoint=True)
+    return np.stack([ts**i for i in range(n_order + 1)], axis=1)
+
+
+def monomial_Tp(n_order: int, n_step: int) -> np.ndarray:
+    ts = np.linspace(0.0, 1.0, n_step, endpoint=True)
+    return np.stack([(i + 1) * ts**i for i in range(n_order)], axis=1)
+
+
+def _central_gradient(x: jnp.ndarray) -> jnp.ndarray:
+    """Gradient along axis -2: central differences inside, one-sided at the
+    edges (torch.gradient / np.gradient with unit spacing)."""
+    fwd = x[..., 1:, :] - x[..., :-1, :]
+    first = fwd[..., :1, :]
+    last = fwd[..., -1:, :]
+    central = (x[..., 2:, :] - x[..., :-2, :]) / 2.0
+    return jnp.concatenate([first, central, last], axis=-2)
+
+
 class SceneDecoder(nn.Module):
     """cls-token -> M modes; per-actor Bézier control-point regression
     (reference network.py:343-556, param_out='bezier')."""
@@ -197,18 +217,35 @@ class SceneDecoder(nn.Module):
         cls_logit = nn.Dense(1)(MLPBlock((H, H))(cls_embed))[:, 0]  # [M]
         cls_prob = jax.nn.softmax(cls_logit)
 
-        param = nn.Dense((n_order + 1) * 5)(MLPBlock((H, H))(embed))
-        param = param.reshape(M, A, n_order + 1, 5)
+        # all three heads regress (n_order+1)*5 parameters per mode per actor
+        # (reference network.py:408-447: for param_out='none' the same layout
+        # is interpreted as future_steps*5 via n_order+1 == future_steps)
+        n_param = F - 1 if cfg.param_out == "none" else n_order
+        param = nn.Dense((n_param + 1) * 5)(MLPBlock((H, H))(embed))
+        param = param.reshape(M, A, n_param + 1, 5)
+        reg_param = jnp.transpose(param[..., :2], (1, 0, 2, 3))    # [A, M, K, 2]
+        cov_param = jnp.transpose(param[..., 2:], (1, 0, 2, 3))    # [A, M, K, 3]
 
-        mat_T = jnp.asarray(bezier_T(n_order, F), embed.dtype)     # [F, n+1]
-        mat_Tp = jnp.asarray(bezier_Tp(n_order, F), embed.dtype)   # [F, n]
-
-        reg_param = jnp.transpose(param[..., :2], (1, 0, 2, 3))    # [A, M, n+1, 2]
-        cov_param = jnp.transpose(param[..., 2:], (1, 0, 2, 3))    # [A, M, n+1, 3]
-        reg = jnp.einsum("fk,amkd->amfd", mat_T, reg_param)        # [A, M, F, 2]
-        vel = jnp.einsum("fk,amkd->amfd", mat_Tp,
-                         jnp.diff(reg_param, axis=2)) / (F * 0.1)
-        cov = jnp.einsum("fk,amkd->amfd", mat_T, cov_param)        # [A, M, F, 3]
+        if cfg.param_out == "bezier":
+            mat_T = jnp.asarray(bezier_T(n_order, F), embed.dtype)
+            mat_Tp = jnp.asarray(bezier_Tp(n_order, F), embed.dtype)
+            reg = jnp.einsum("fk,amkd->amfd", mat_T, reg_param)
+            vel = jnp.einsum("fk,amkd->amfd", mat_Tp,
+                             jnp.diff(reg_param, axis=2)) / (F * 0.1)
+            cov = jnp.einsum("fk,amkd->amfd", mat_T, cov_param)
+        elif cfg.param_out == "monomial":
+            mat_T = jnp.asarray(monomial_T(n_order, F), embed.dtype)
+            mat_Tp = jnp.asarray(monomial_Tp(n_order, F), embed.dtype)
+            reg = jnp.einsum("fk,amkd->amfd", mat_T, reg_param)
+            vel = jnp.einsum("fk,amkd->amfd", mat_Tp,
+                             reg_param[:, :, 1:, :]) / (F * 0.1)
+            cov = jnp.einsum("fk,amkd->amfd", mat_T, cov_param)
+        elif cfg.param_out == "none":
+            reg = reg_param                                        # [A, M, F, 2]
+            cov = cov_param
+            vel = _central_gradient(reg) / 0.1  # torch.gradient semantics
+        else:
+            raise NotImplementedError(cfg.param_out)
 
         reg_out = jnp.concatenate([reg, jnp.exp(cov)], axis=-1)    # [A, M, F, 5]
         return cls_prob, reg_out, vel

@@ -87,12 +87,25 @@ class NonReactiveAgent:
         ])
         self.ctrl = np.zeros(2)
 
+    # optional observation noise (the reference carries a disabled noise
+    # injection, agent.py:56-58); set to a (sigma, rng) tuple to enable
+    obs_noise = None
+
     def observe(self) -> AgentObservation:
+        state = self.state
+        if self.obs_noise is not None:
+            sigma, rng = self.obs_noise
+            noise = rng.normal(0.0, sigma, self.state.shape)
+            noise[-1] = 0.0
+            state = self.state + noise
+        return AgentObservation(id=self.id, type=self.type, clr=self.clr,
+                                bbox=self.bbox, state=state,
+                                timestep=self.timestep)
+
+    def observe_no_noise(self) -> AgentObservation:
         return AgentObservation(id=self.id, type=self.type, clr=self.clr,
                                 bbox=self.bbox, state=self.state,
                                 timestep=self.timestep)
-
-    observe_no_noise = observe
 
     def step(self):
         if self.rec_step < self.max_step:
