@@ -110,6 +110,7 @@ class TrajTreeConfig:
     # solver would always burn max_iterations, so the default is 1e-5 —
     # controls agree to ~1e-4)
     max_iterations: int = 100
+    warm_max_iterations: int = 100  # warm-start phase budget
     rel_tol: float = 1e-5
     n_line_search: int = 10
     max_reg: float = 1e10

@@ -262,8 +262,11 @@ def aime_grow_tree(params, batched_apply, cfg: PlannerConfig,
         )
         return new_state
 
+    # rounds with an empty branch set are skipped at runtime (lax.cond
+    # executes a single branch on TPU) — typical trees stop after 1-3 rounds
     for _ in range(scen.max_depth):
-        state = one_round(state)
+        state = jax.lax.cond(jnp.any(state.branch_flag), one_round,
+                             lambda s: s, state)
 
     # --- end-flag propagation to ancestors ---
     end = state.end_flag

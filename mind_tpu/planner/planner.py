@@ -236,6 +236,8 @@ class MINDPlanner:
             n_line_search=cfg.traj_tree.n_line_search,
             mu_max=cfg.traj_tree.max_reg,
         )
+        self.warm_ilqr_cfg = self.ilqr_cfg._replace(
+            max_iterations=cfg.traj_tree.warm_max_iterations)
 
         MN = cfg.scen_tree.max_tree_nodes
 
@@ -264,11 +266,12 @@ class MINDPlanner:
                 nodes = gather_cost_nodes(slots, norm_prob, cs, st,
                                           topo.node_mask, amask)
                 xs, us, info = two_phase_solve(
-                    topo, x0, nodes, warm_params, full_params, self.ilqr_cfg)
+                    topo, x0, nodes, warm_params, full_params,
+                    self.ilqr_cfg, self.warm_ilqr_cfg)
                 cost = evaluate_traj_tree(
                     xs, us, topo.node_mask, jnp.sum(topo.node_mask), x0,
                     *self._eval_segs, target_vel, weights)
-                return xs, us, cost, info["iterations"]
+                return xs, us, cost, info["iterations"] + info["warm_iterations"]
 
             xs_b, us_b, cost_b, its = jax.vmap(one)(topo_b, cost_slot_b,
                                                     cost_step_b)

@@ -213,13 +213,16 @@ def make_cost_params(phase: OptPhaseConfig, x0: np.ndarray,
 
 def two_phase_solve(topo: TreeTopology, x0, nodes: NodeCostData,
                     warm_params: CostParams, full_params: CostParams,
-                    ilqr_cfg: ILQRConfig):
+                    ilqr_cfg: ILQRConfig, warm_cfg: ILQRConfig = None):
     """Warm-start solve (target-lane cost only) then full solve from the warm
-    controls (reference planner.py:174-178)."""
+    controls (reference planner.py:174-178). `warm_cfg` optionally gives the
+    warm phase its own (smaller) iteration budget."""
     MN = topo.parent.shape[0]
     us0 = jnp.zeros((MN, 2), x0.dtype)
-    _, us_warm, _ = ilqr_solve(topo, x0, us0, nodes, warm_params, ilqr_cfg)
+    _, us_warm, info_w = ilqr_solve(topo, x0, us0, nodes, warm_params,
+                                    warm_cfg or ilqr_cfg)
     xs, us, info = ilqr_solve(topo, x0, us_warm, nodes, full_params, ilqr_cfg)
+    info["warm_iterations"] = info_w["iterations"]
     return xs, us, info
 
 
