@@ -36,6 +36,9 @@ class NetConfig:
     update_edge: bool = True
     param_out: str = "bezier"
     bezier_order: int = 7
+    # run the fusion-layer core through the Pallas VMEM-resident kernel
+    # (ops/fusion_attention.py) instead of plain XLA
+    use_pallas_fusion: bool = False
 
 
 @dataclass

@@ -91,25 +91,58 @@ class LaneNet(nn.Module):
 
 
 class RelaFusionLayer(nn.Module):
-    """One edge-conditioned fusion layer (reference network.py:124-232)."""
+    """One edge-conditioned fusion layer (reference network.py:124-232).
+
+    The layer core (memory build + optional edge update + edge-memory
+    attention) has explicit parameters shared by two computation paths: the
+    plain-XLA reference semantics and the Pallas VMEM-resident kernel
+    (ops/fusion_attention.py), selected by `use_pallas`.
+    """
 
     d_model: int
     d_edge: int
     n_head: int
     update_edge: bool
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, node, edge, key_mask):
-        # node [N, D], edge [N, N, E], key_mask [N]
-        N = node.shape[0]
-        src = jnp.broadcast_to(node[:, None, :], (N, N, node.shape[-1]))
-        tar = jnp.broadcast_to(node[None, :, :], (N, N, node.shape[-1]))
-        memory = MLPBlock((self.d_model,))(
-            jnp.concatenate([edge, src, tar], axis=-1))  # [N, N, D]
-        if self.update_edge:
-            edge = nn.LayerNorm()(edge + MLPBlock((self.d_edge,))(memory))
+        from mind_tpu.ops.fusion_attention import (
+            FusionWeights,
+            fused_edge_attention,
+            fused_edge_attention_ref,
+        )
 
-        x_prime = EdgeMemoryAttention(self.d_model, self.n_head)(node, memory, key_mask)
+        D, E = self.d_model, self.d_edge
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        ones = nn.initializers.ones
+        p = lambda name, shape, init: self.param(name, init, shape)
+        w = FusionWeights(
+            wm_e=p("w_mem_edge", (E, D), lecun),
+            wm_s=p("w_mem_src", (D, D), lecun),
+            wm_t=p("w_mem_tar", (D, D), lecun),
+            bm=p("b_mem", (D,), zeros),
+            ln_m_g=p("ln_mem_scale", (D,), ones),
+            ln_m_b=p("ln_mem_bias", (D,), zeros),
+            wq=p("w_q", (D, D), lecun), bq=p("b_q", (D,), zeros),
+            wk=p("w_k", (D, D), lecun), bk=p("b_k", (D,), zeros),
+            wv=p("w_v", (D, D), lecun), bv=p("b_v", (D,), zeros),
+            wo=p("w_o", (D, D), lecun), bo=p("b_o", (D,), zeros),
+            we=p("w_edge", (D, E), lecun), be=p("b_edge", (E,), zeros),
+            ln_e1_g=p("ln_e1_scale", (E,), ones),
+            ln_e1_b=p("ln_e1_bias", (E,), zeros),
+            ln_e2_g=p("ln_e2_scale", (E,), ones),
+            ln_e2_b=p("ln_e2_bias", (E,), zeros),
+        )
+
+        if self.use_pallas:
+            x_prime, edge = fused_edge_attention(
+                node, edge, key_mask, w, self.n_head, self.update_edge)
+        else:
+            x_prime, edge = fused_edge_attention_ref(
+                node, edge, key_mask, w, self.n_head, self.update_edge)
+
         x = nn.LayerNorm()(node + x_prime)
         ff = nn.Dense(self.d_model * 2)(x)
         ff = nn.Dense(self.d_model)(nn.relu(ff))
@@ -140,7 +173,8 @@ class FusionNet(nn.Module):
         for i in range(cfg.n_scene_layer):
             update_edge = cfg.update_edge and i != cfg.n_scene_layer - 1
             x, edge = RelaFusionLayer(cfg.d_embed, cfg.d_rpe, cfg.n_scene_head,
-                                      update_edge)(x, edge, token_mask)
+                                      update_edge, cfg.use_pallas_fusion)(
+                x, edge, token_mask)
 
         A = actors.shape[0]
         return x[:A], x[A:-1], x[-1]  # actors, lanes, cls

@@ -141,6 +141,8 @@ def fused_edge_attention(node, edge, key_mask, w: FusionWeights, n_head: int,
                          interpret: bool = False):
     """Pallas-fused layer core. Pads N up to a multiple of tj (padded tokens
     masked out of attention; padded edge rows/cols are dropped on return)."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # pallas TPU kernels run interpreted on CPU
     N, D = node.shape
     E = edge.shape[-1]
     Np = -(-N // tj) * tj

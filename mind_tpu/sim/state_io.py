@@ -39,12 +39,13 @@ def save_sim_state(sim, path: str | Path) -> str:
             )
             if isinstance(a, MINDAgent) and a.planner is not None:
                 buf = a.planner.obs_buffer
-                arrays[f"buf_pos_{i}"] = buf.pos
-                arrays[f"buf_ang_{i}"] = buf.ang
-                arrays[f"buf_vel_{i}"] = buf.vel
-                arrays[f"buf_obs_{i}"] = buf.observed
+                arrays[f"buf_pos_{i}"] = np.asarray(buf.buf.pos)
+                arrays[f"buf_ang_{i}"] = np.asarray(buf.buf.ang)
+                arrays[f"buf_vel_{i}"] = np.asarray(buf.buf.vel)
+                arrays[f"buf_obs_{i}"] = np.asarray(buf.buf.observed)
                 arrays[f"buf_types_{i}"] = buf.types
                 arrays[f"buf_active_{i}"] = buf.active
+                arrays[f"buf_present_{i}"] = buf.last_present
                 am["buf_slots"] = buf.slots
         meta["agents"].append(am)
     arrays["__meta__"] = np.frombuffer(
@@ -70,11 +71,18 @@ def load_sim_state(sim, path: str | Path) -> None:
             a.enable_timestep = float(am["enable_timestep"])
             if isinstance(a, MINDAgent) and a.planner is not None and \
                     f"buf_pos_{i}" in data:
+                import jax.numpy as jnp
+                from mind_tpu.planner.aime_device import DeviceObsBuffer
+
                 buf = a.planner.obs_buffer
-                buf.pos = data[f"buf_pos_{i}"].copy()
-                buf.ang = data[f"buf_ang_{i}"].copy()
-                buf.vel = data[f"buf_vel_{i}"].copy()
-                buf.observed = data[f"buf_obs_{i}"].copy()
+                buf.buf = DeviceObsBuffer(
+                    pos=jnp.asarray(data[f"buf_pos_{i}"]),
+                    ang=jnp.asarray(data[f"buf_ang_{i}"]),
+                    vel=jnp.asarray(data[f"buf_vel_{i}"]),
+                    observed=jnp.asarray(data[f"buf_obs_{i}"]),
+                )
                 buf.types = data[f"buf_types_{i}"].copy()
                 buf.active = data[f"buf_active_{i}"].copy()
+                buf.last_present = data[f"buf_present_{i}"].copy()
                 buf.slots = {k: int(v) for k, v in am["buf_slots"].items()}
+                buf._ver += 1  # invalidate device-copy caches
