@@ -96,7 +96,7 @@ def _rollout(topo: TreeTopology, x0, us, dt, wb):
         xs = xs.at[safe_ids].set(jnp.where((ids >= 0)[:, None], x_new, xs[safe_ids]))
         return xs, None
 
-    xs, _ = jax.lax.scan(level_step, xs0, topo.level_table, unroll=4)
+    xs, _ = jax.lax.scan(level_step, xs0, topo.level_table, unroll=8)
     return xs[:MN]
 
 
@@ -124,7 +124,7 @@ def _rollout_policy(topo: TreeTopology, x0, xs_nom, us_nom, k, K, alpha, dt, wb)
         return (xs, us), None
 
     (xs, us), _ = jax.lax.scan(level_step, (xs0, us0), topo.level_table,
-                                unroll=4)
+                                unroll=8)
     return xs[:MN], us[:MN]
 
 
@@ -215,7 +215,7 @@ def _backward(topo: TreeTopology, st: _SolverState, mu):
 
     init = (V_x, V_xx, k, K, jnp.array(True))
     (V_x, V_xx, k, K, pd_ok), _ = jax.lax.scan(
-        level_step, init, topo.level_table, reverse=True, unroll=4)
+        level_step, init, topo.level_table, reverse=True, unroll=8)
     return k, K, pd_ok
 
 

@@ -49,7 +49,8 @@ from mind_tpu.planner.ilqr import ILQRConfig
 from mind_tpu.utils.metrics import Metrics
 
 MAX_TREES = 6  # <= num modes root children
-MAX_TGT_PTS = 512
+MAX_TGT_PTS = 256       # AIME target lane, ~1 m resampled (demos use <= 213)
+MAX_COST_TGT_PTS = 64   # cost-field target lane, 4 m simplified (<= 26)
 
 TYPE_ORDER = [
     ObjectType.VEHICLE,
@@ -298,9 +299,9 @@ class MINDPlanner:
             zero = np.zeros(6)
             self._cost_params_cache = (
                 make_cost_params(cfg.traj_tree.warm, zero, self.gt_tgt_lane,
-                                 tv, MAX_TGT_PTS, warm=True),
+                                 tv, MAX_COST_TGT_PTS, warm=True),
                 make_cost_params(cfg.traj_tree.full, zero, self.gt_tgt_lane,
-                                 tv, MAX_TGT_PTS, warm=False),
+                                 tv, MAX_COST_TGT_PTS, warm=False),
             )
         return self._cost_params_cache
 
