@@ -45,6 +45,7 @@ from mind_tpu.planner.trajectory_tree import (
     two_phase_solve,
     evaluate_traj_tree,
 )
+from mind_tpu.planner.cost_topology import device_cost_topology
 from mind_tpu.planner.ilqr import ILQRConfig
 from mind_tpu.utils.metrics import Metrics
 
@@ -290,6 +291,44 @@ class MINDPlanner:
 
         self._solve_fn = jax.jit(solve_fn)
 
+        def fused_fn(params, buf, types, amask, x0, warm_params, full_params,
+                     target_vel):
+            """The whole plan cycle as one program: AIME + device cost
+            topology + two-phase solve + selection. One host sync total."""
+            state, meta = aime_grow_tree(
+                params, self.batched_apply, cfg, buf, types, amask,
+                self.lane_static, self.tgt_static)
+            dct = device_cost_topology(
+                state.parent, state.depth, state.duration, state.start_t,
+                state.end_flag, meta.tree_id,
+                MAX_TREES, cfg.traj_tree.max_cost_nodes,
+                cfg.traj_tree.max_depth_levels, cfg.traj_tree.max_width_hint)
+
+            def one(topo, cs, st):
+                nodes = gather_cost_nodes(state.slots, meta.norm_prob, cs, st,
+                                          topo.node_mask, amask)
+                xs, us, info = two_phase_solve(
+                    topo, x0, nodes, warm_params, full_params,
+                    self.ilqr_cfg, self.warm_ilqr_cfg)
+                cost = evaluate_traj_tree(
+                    xs, us, topo.node_mask, jnp.sum(topo.node_mask), x0,
+                    *self._eval_segs, target_vel, weights)
+                return cost, xs[0, 4:6], info["iterations"]
+
+            cost_b, ctrl_b, its = jax.vmap(one)(dct.topo, dct.cost_slot,
+                                                dct.cost_step)
+            cost_b = jnp.where(dct.tree_mask, cost_b, jnp.inf)
+            best = jnp.argmin(cost_b)
+            ctrl = ctrl_b[best]
+            ok = (dct.n_trees > 0).astype(jnp.float32)
+            return jnp.concatenate([
+                ctrl, jnp.array([ok], jnp.float32),
+                jnp.array([jnp.max(jnp.where(dct.tree_mask, its, 0))],
+                          jnp.float32),
+            ])
+
+        self._fused_fn = jax.jit(fused_fn)
+
     def _cost_params(self):
         """Static parts of the warm/full CostParams (built once; only the
         state-centered grid origin changes per plan)."""
@@ -331,6 +370,9 @@ class MINDPlanner:
         if not actor_mask[0]:
             return False, None, None  # no ego observation yet
         amask_d = self.obs_buffer.mask_device(actor_mask)
+
+        if not self.export_trees:
+            return self._plan_fused(amask_d)
 
         with self.metrics.timer.phase("aime"):
             state, meta, packed = self._aime_fn(
@@ -400,6 +442,28 @@ class MINDPlanner:
                 trees[best][0], np.asarray(xs_b[best]), np.asarray(us_b[best]),
                 np.asarray(x0))
         return True, ctrl, [[scen_tree], [traj_tree]]
+
+    def _plan_fused(self, amask_d):
+        """Single-dispatch plan: one program, one ~24-byte sync."""
+        with self.metrics.timer.phase("plan_fused"):
+            x0 = jnp.asarray([*self.state, *self.ctrl], jnp.float32)
+            tv = float(self.lcl_smp.target_velocity)
+            warm_p, full_p = self._cost_params()
+            offset = self._field_offset(np.asarray(self.state))
+            warm_p = warm_p._replace(field_offset=offset)
+            full_p = full_p._replace(field_offset=offset)
+            packed = self._fused_fn(
+                self.params, self.obs_buffer.buf,
+                self.obs_buffer.types_device(), amask_d,
+                x0, warm_p, full_p, jnp.float32(tv))
+            small = np.asarray(packed)  # the one sync
+        ctrl = small[:2].astype(np.float64)
+        self.metrics.observe("ilqr_iterations", float(small[3]))
+        if small[2] < 0.5 or not np.isfinite(ctrl).all():
+            self.metrics.incr("plan_failures")
+            return False, None, None
+        self.metrics.incr("plans")
+        return True, ctrl, None
 
     # ------------------------------------------------------------------
     def _export_scen_tree(self, slots: NodeSlots, parent, duration, end_flag,
