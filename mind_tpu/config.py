@@ -234,11 +234,16 @@ def planner_config_for_demo(demo: str) -> PlannerConfig:
 
     demo_3 raises the desired-velocity weight to .5 in both phases
     (planning/demo_3.py:23,51); all other demos share demo_1's values.
+    Picks up the repo-trained demo weights when present (the reference's
+    checkpoints are stripped from its snapshot).
     """
     cfg = PlannerConfig()
     if demo.endswith("3"):
         cfg.traj_tree.warm.w_des_velocity = 0.5
         cfg.traj_tree.full.w_des_velocity = 0.5
+    default_w = Path(__file__).resolve().parent.parent / "weights/scene_pred_demo"
+    if default_w.is_dir():
+        cfg.ckpt_path = str(default_w)
     return cfg
 
 

@@ -218,10 +218,16 @@ class MINDPlanner:
                            jnp.asarray(evm))
 
     def _init_network(self):
+        import os
+
         cfg = self.cfg
         self.model, self.params, self.batched_apply = init_scene_pred(
             cfg.net, cfg.max_actors, cfg.max_lanes, seed=cfg.seed)
-        if cfg.ckpt_path:
+        if cfg.ckpt_path and os.path.isdir(cfg.ckpt_path):
+            from mind_tpu.models.checkpoint import load_params
+
+            self.params = load_params(cfg.ckpt_path, self.params)
+        elif cfg.ckpt_path:
             from mind_tpu.models.weights import try_load_torch_checkpoint
 
             loaded = try_load_torch_checkpoint(cfg.ckpt_path, self.params)
