@@ -254,5 +254,6 @@ def load_planner_config(path: Path | str) -> PlannerConfig:
         raw = json.load(f)
     demo = raw.get("planning_config", "demo_1").rsplit(".", 1)[-1]
     cfg = planner_config_for_demo(demo)
-    cfg.ckpt_path = raw.get("ckpt_path")
+    if raw.get("ckpt_path"):  # otherwise keep the repo-trained default
+        cfg.ckpt_path = raw["ckpt_path"]
     return cfg

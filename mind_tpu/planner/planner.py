@@ -63,6 +63,45 @@ TYPE_ORDER = [
 ]
 
 
+def fused_plan_core(params, buf, types, amask, x0, warm_params, full_params,
+                    target_vel, lane_static, tgt_static, eval_segs, *,
+                    batched_apply, cfg, ilqr_cfg, warm_ilqr_cfg, weights):
+    """The whole plan cycle as one pure program: AIME + device cost topology
+    + two-phase solve + selection. Statics are data arguments so the same
+    function vmaps across scenarios (parallel/multi_scenario.py).
+    Returns [ctrl(2), ok, max_iterations]."""
+    state, meta = aime_grow_tree(
+        params, batched_apply, cfg, buf, types, amask,
+        lane_static, tgt_static)
+    dct = device_cost_topology(
+        state.parent, state.depth, state.duration, state.start_t,
+        state.end_flag, meta.tree_id,
+        MAX_TREES, cfg.traj_tree.max_cost_nodes,
+        cfg.traj_tree.max_depth_levels, cfg.traj_tree.max_width_hint)
+
+    def one(topo, cs, st):
+        nodes = gather_cost_nodes(state.slots, meta.norm_prob, cs, st,
+                                  topo.node_mask, amask)
+        xs, us, info = two_phase_solve(
+            topo, x0, nodes, warm_params, full_params, ilqr_cfg,
+            warm_ilqr_cfg)
+        cost = evaluate_traj_tree(
+            xs, us, topo.node_mask, jnp.sum(topo.node_mask), x0,
+            *eval_segs, target_vel, weights)
+        return cost, xs[0, 4:6], info["iterations"]
+
+    cost_b, ctrl_b, its = jax.vmap(one)(dct.topo, dct.cost_slot,
+                                        dct.cost_step)
+    cost_b = jnp.where(dct.tree_mask, cost_b, jnp.inf)
+    best = jnp.argmin(cost_b)
+    ctrl = ctrl_b[best]
+    ok = (dct.n_trees > 0).astype(jnp.float32)
+    return jnp.concatenate([
+        ctrl, jnp.array([ok], jnp.float32),
+        jnp.array([jnp.max(jnp.where(dct.tree_mask, its, 0))], jnp.float32),
+    ])
+
+
 def type_onehot(obj_type: ObjectType) -> np.ndarray:
     out = np.zeros(7, np.float32)
     try:
@@ -144,7 +183,8 @@ class MINDPlanner:
     update_observation / update_state_ctrl / update_target_lane / plan."""
 
     def __init__(self, cfg: PlannerConfig, smp: SemanticMap,
-                 lcl_smp: LocalSemanticMap, export_trees: bool = True):
+                 lcl_smp: LocalSemanticMap, export_trees: bool = True,
+                 shared_net=None):
         self.cfg = cfg
         self.obs_len = cfg.obs_len
         self.smp = smp
@@ -157,7 +197,10 @@ class MINDPlanner:
         self.export_trees = export_trees
 
         self._init_statics()
-        self._init_network()
+        if shared_net is not None:
+            self.model, self.params, self.batched_apply = shared_net
+        else:
+            self._init_network()
         self._init_programs()
 
     # ------------------------------------------------------------------
@@ -297,43 +340,21 @@ class MINDPlanner:
 
         self._solve_fn = jax.jit(solve_fn)
 
+        import functools
+
+        core = functools.partial(
+            fused_plan_core, batched_apply=self.batched_apply, cfg=cfg,
+            ilqr_cfg=self.ilqr_cfg, warm_ilqr_cfg=self.warm_ilqr_cfg,
+            weights=weights)
+
         def fused_fn(params, buf, types, amask, x0, warm_params, full_params,
                      target_vel):
-            """The whole plan cycle as one program: AIME + device cost
-            topology + two-phase solve + selection. One host sync total."""
-            state, meta = aime_grow_tree(
-                params, self.batched_apply, cfg, buf, types, amask,
-                self.lane_static, self.tgt_static)
-            dct = device_cost_topology(
-                state.parent, state.depth, state.duration, state.start_t,
-                state.end_flag, meta.tree_id,
-                MAX_TREES, cfg.traj_tree.max_cost_nodes,
-                cfg.traj_tree.max_depth_levels, cfg.traj_tree.max_width_hint)
-
-            def one(topo, cs, st):
-                nodes = gather_cost_nodes(state.slots, meta.norm_prob, cs, st,
-                                          topo.node_mask, amask)
-                xs, us, info = two_phase_solve(
-                    topo, x0, nodes, warm_params, full_params,
-                    self.ilqr_cfg, self.warm_ilqr_cfg)
-                cost = evaluate_traj_tree(
-                    xs, us, topo.node_mask, jnp.sum(topo.node_mask), x0,
-                    *self._eval_segs, target_vel, weights)
-                return cost, xs[0, 4:6], info["iterations"]
-
-            cost_b, ctrl_b, its = jax.vmap(one)(dct.topo, dct.cost_slot,
-                                                dct.cost_step)
-            cost_b = jnp.where(dct.tree_mask, cost_b, jnp.inf)
-            best = jnp.argmin(cost_b)
-            ctrl = ctrl_b[best]
-            ok = (dct.n_trees > 0).astype(jnp.float32)
-            return jnp.concatenate([
-                ctrl, jnp.array([ok], jnp.float32),
-                jnp.array([jnp.max(jnp.where(dct.tree_mask, its, 0))],
-                          jnp.float32),
-            ])
+            return core(params, buf, types, amask, x0, warm_params,
+                        full_params, target_vel, self.lane_static,
+                        self.tgt_static, self._eval_segs)
 
         self._fused_fn = jax.jit(fused_fn)
+        self._fused_core = core  # statics-as-args version for batched runners
 
     def _cost_params(self):
         """Static parts of the warm/full CostParams (built once; only the
