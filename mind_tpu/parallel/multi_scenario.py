@@ -95,12 +95,17 @@ class MultiScenarioSim:
 
     # ------------------------------------------------------------------
     def _batched_plan(self, ready: List[int]):
-        """One vmapped plan for every ego that triggered this tick."""
+        """One vmapped plan each trigger. The dispatch always covers ALL
+        scenarios (fixed batch size -> one compilation even when some
+        scenarios terminate); only `ready` egos consume their results."""
         t0 = time.perf_counter()
         for i in ready:  # state/ctrl hand-off (MINDAgent.plan semantics)
             av = self.avs[i]
             av.planner.update_state_ctrl(av.lcl_smp.ego_agent.state, av.ctrl)
-        planners = [self.avs[i].planner for i in ready]
+        for av in self.avs:  # placeholders for non-ready scenarios
+            if av.planner.state is None:
+                av.planner.update_state_ctrl(av.state, av.ctrl)
+        planners = [av.planner for av in self.avs]
         stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
 
         bufs = stack([p.obs_buffer.buf for p in planners])
@@ -142,9 +147,9 @@ class MultiScenarioSim:
         self.plan_time_s += time.perf_counter() - t0
 
         ok = []
-        for row, i in enumerate(ready):
-            ctrl = packed[row, :2].astype(np.float64)
-            good = packed[row, 2] > 0.5 and np.isfinite(ctrl).all()
+        for i in ready:
+            ctrl = packed[i, :2].astype(np.float64)
+            good = packed[i, 2] > 0.5 and np.isfinite(ctrl).all()
             if good:
                 self.avs[i].ctrl = ctrl
             ok.append(good)
