@@ -93,6 +93,28 @@ class MultiScenarioSim:
         self.plan_calls = 0
         self.plan_time_s = 0.0
 
+        # statics never change: stack them once (each eager device op costs
+        # ~20 ms over the tunnel)
+        planners = [av.planner for av in self.avs]
+        stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
+        self._lanes_b = stack([p.lane_static for p in planners])
+        self._tgts_b = stack([p.tgt_static for p in planners])
+        self._evals_b = stack([p._eval_segs for p in planners])
+        self._tvs_b = jnp.asarray(
+            [float(p.lcl_smp.target_velocity) for p in planners], jnp.float32)
+
+        from mind_tpu.ops.potential import CostParams
+
+        def stack_cp_base(phase):
+            items = [p._cost_params()[phase] for p in planners]
+            return CostParams(**{
+                f: (getattr(items[0], f) if f == "grid_n"
+                    else jnp.stack([getattr(i, f) for i in items]))
+                for f in CostParams._fields})
+
+        self._warm_b = stack_cp_base(0)
+        self._full_b = stack_cp_base(1)
+
     # ------------------------------------------------------------------
     def _batched_plan(self, ready: List[int]):
         """One vmapped plan each trigger. The dispatch always covers ALL
@@ -108,41 +130,26 @@ class MultiScenarioSim:
         planners = [av.planner for av in self.avs]
         stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
 
+        stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
         bufs = stack([p.obs_buffer.buf for p in planners])
         types = jnp.stack([p.obs_buffer.types_device() for p in planners])
         amasks = jnp.stack([
             p.obs_buffer.mask_device(p.obs_buffer.actor_mask())
             for p in planners])
-        x0s = jnp.stack([
-            jnp.asarray([*p.state, *p.ctrl], jnp.float32) for p in planners])
-        tvs = jnp.asarray([float(p.lcl_smp.target_velocity)
-                           for p in planners], jnp.float32)
-
-        warm_list, full_list = [], []
-        for p in planners:
-            w, f = p._cost_params()
-            off = p._field_offset(np.asarray(p.state))
-            warm_list.append(w._replace(field_offset=off))
-            full_list.append(f._replace(field_offset=off))
-        # grid_n is a shared static int (unbatched); stack array leaves
-        from mind_tpu.ops.potential import CostParams
-
-        def stack_cp(items):
-            return CostParams(**{
-                f: (getattr(items[0], f) if f == "grid_n"
-                    else jnp.stack([getattr(i, f) for i in items]))
-                for f in CostParams._fields})
-
-        warm_ps = stack_cp(warm_list)
-        full_ps = stack_cp(full_list)
-
-        lanes = stack([p.lane_static for p in planners])
-        tgts = stack([p.tgt_static for p in planners])
-        evals = stack([p._eval_segs for p in planners])
+        # host-assembled small arrays: one upload each
+        x0s = jnp.asarray(np.stack(
+            [np.concatenate([p.state, p.ctrl]) for p in planners]
+        ).astype(np.float32))
+        ph = planners[0].cfg.traj_tree.full
+        half = 0.5 * (ph.smooth_grid_size[0] - 1) * ph.smooth_grid_res
+        offsets = jnp.asarray(np.stack(
+            [p.state[:2] - half for p in planners]).astype(np.float32))
+        warm_ps = self._warm_b._replace(field_offset=offsets)
+        full_ps = self._full_b._replace(field_offset=offsets)
 
         packed = np.asarray(self._batched_fn(
-            self.params, bufs, types, amasks, x0s, warm_ps, full_ps, tvs,
-            lanes, tgts, evals))
+            self.params, bufs, types, amasks, x0s, warm_ps, full_ps,
+            self._tvs_b, self._lanes_b, self._tgts_b, self._evals_b))
         self.plan_calls += 1
         self.plan_time_s += time.perf_counter() - t0
 
