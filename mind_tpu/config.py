@@ -39,6 +39,9 @@ class NetConfig:
     # run the fusion-layer core through the Pallas VMEM-resident kernel
     # (ops/fusion_attention.py) instead of plain XLA
     use_pallas_fusion: bool = False
+    # inference compute dtype ('float32' | 'bfloat16'); bfloat16 runs the
+    # network on the MXU's native precision (params stay float32)
+    compute_dtype: str = "float32"
 
 
 @dataclass
@@ -241,6 +244,9 @@ def planner_config_for_demo(demo: str) -> PlannerConfig:
     checkpoints are stripped from its snapshot).
     """
     cfg = PlannerConfig()
+    # inference runs the fusion net in MXU-native bfloat16 (decoder stays
+    # f32); cls err ~2e-3, position err ~2 cm vs f32
+    cfg.net.compute_dtype = "bfloat16"
     if demo.endswith("3"):
         cfg.traj_tree.warm.w_des_velocity = 0.5
         cfg.traj_tree.full.w_des_velocity = 0.5

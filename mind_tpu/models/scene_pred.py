@@ -225,6 +225,10 @@ class SceneDecoder(nn.Module):
     @nn.compact
     def __call__(self, ctx, actors, tgt_feat, tgt_rpe):
         # ctx [D], actors [A, D], tgt_feat [D], tgt_rpe [20]
+        # the decoder runs in f32 even under bfloat16 inference: Bézier
+        # control-point positions need more than 8 mantissa bits
+        ctx, actors, tgt_feat, tgt_rpe = (
+            x.astype(jnp.float32) for x in (ctx, actors, tgt_feat, tgt_rpe))
         cfg = self.cfg
         H, M = cfg.d_embed, cfg.num_modes
         F = cfg.pred_len
@@ -336,10 +340,24 @@ def init_scene_pred(cfg: NetConfig, max_actors: int, max_lanes: int, seed: int =
     else:
         params = model.init(jax.random.PRNGKey(seed), *dummy)
 
+    dtype = jnp.dtype(cfg.compute_dtype)
+
     def batched_apply(params, actors, actor_mask, lanes, lane_mask, rpe,
                       tgt_nodes, tgt_rpe):
-        return jax.vmap(
-            lambda *xs: model.apply(params, *xs)
+        if dtype != jnp.float32:
+            # MXU-native inference: cast params + float inputs, return f32
+            cast = lambda x: x.astype(dtype) if jnp.issubdtype(
+                x.dtype, jnp.floating) else x
+            params_c = jax.tree.map(cast, params)
+            actors, lanes, rpe, tgt_nodes, tgt_rpe = map(
+                cast, (actors, lanes, rpe, tgt_nodes, tgt_rpe))
+        else:
+            params_c = params
+        out = jax.vmap(
+            lambda *xs: model.apply(params_c, *xs)
         )(actors, actor_mask, lanes, lane_mask, rpe, tgt_nodes, tgt_rpe)
+        if dtype != jnp.float32:
+            out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+        return out
 
     return model, params, batched_apply
