@@ -9,13 +9,12 @@ so a run can resume exactly where it stopped.
 
 from __future__ import annotations
 
-import io
 import json
 from pathlib import Path
 
 import numpy as np
 
-from mind_tpu.sim.agents import CustomizedAgent, MINDAgent, NonReactiveAgent
+from mind_tpu.sim.agents import CustomizedAgent, MINDAgent
 
 
 def save_sim_state(sim, path: str | Path) -> str:

@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
-from typing import List, Optional
-
 import numpy as np
 
 EXO_COLOR = ("lightcoral", "indianred")
