@@ -133,8 +133,10 @@ class Simulator:
         return np.array(out)
 
     def render_video(self):
+        """Render recorded frames; returns the video path (or the PNG
+        directory when ffmpeg is unavailable), None if rendering is off."""
         if not self.config.render:
-            return
+            return None
         from mind_tpu.viz.render import render_frames_to_video
 
-        render_frames_to_video(self)
+        return render_frames_to_video(self)

@@ -15,6 +15,12 @@ def main():
     ap.add_argument("--no-render", action="store_true")
     args = ap.parse_args()
 
+    import os
+    import sys
+
+    if not os.path.exists(args.config):
+        sys.exit(f"error: config file not found: {args.config}")
+
     from mind_tpu.config import SimConfig
     from mind_tpu.sim.simulator import Simulator
 
