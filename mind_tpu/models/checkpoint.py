@@ -31,6 +31,12 @@ def load_params(path: str | Path, like: Any, step: Optional[int] = None) -> Any:
     with ocp.CheckpointManager(path) as mgr:
         if step is None:
             step = mgr.latest_step()
+        # carry the template's shardings so checkpoints restore onto the
+        # CURRENT platform (a TPU-saved checkpoint restores on CPU and vice
+        # versa; orbax falls back to the sharding file otherwise, which
+        # breaks across platforms)
         shapes = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like)
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype,
+                sharding=getattr(x, "sharding", None)), like)
         return mgr.restore(step, args=ocp.args.StandardRestore(shapes))

@@ -30,7 +30,7 @@ class GNConv1d(nn.Module):
         pad = (self.kernel_size - 1) // 2
         x = nn.Conv(self.features, (self.kernel_size,), strides=(self.stride,),
                     padding=[(pad, pad)], use_bias=False)(x)
-        x = nn.GroupNorm(num_groups=1)(x)
+        x = nn.GroupNorm(num_groups=1, epsilon=1e-5)(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -47,11 +47,11 @@ class Res1d(nn.Module):
         identity = x
         h = GNConv1d(self.features, stride=self.stride, act=True)(x)
         h = nn.Conv(self.features, (3,), padding=[(1, 1)], use_bias=False)(h)
-        h = nn.GroupNorm(num_groups=1)(h)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5)(h)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1,), strides=(self.stride,),
                                use_bias=False)(x)
-            identity = nn.GroupNorm(num_groups=1)(identity)
+            identity = nn.GroupNorm(num_groups=1, epsilon=1e-5)(identity)
         return nn.relu(h + identity)
 
 
@@ -80,7 +80,7 @@ class MLPBlock(nn.Module):
     def __call__(self, x):
         for f in self.features:
             x = nn.Dense(f)(x)
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(epsilon=1e-5)(x)
             x = nn.relu(x)
         return x
 
@@ -99,7 +99,7 @@ class PointAggregateBlock(nn.Module):
         x_agg = jnp.max(x, axis=-2, keepdims=True)  # [..., 1, H]
         x_cat = jnp.concatenate(
             [x, jnp.broadcast_to(x_agg, x.shape)], axis=-1)
-        out = nn.LayerNorm()(x_inp + MLPBlock((H, H))(x_cat))
+        out = nn.LayerNorm(epsilon=1e-5)(x_inp + MLPBlock((H, H))(x_cat))
         if self.aggre_out:
             return jnp.max(out, axis=-2)  # [..., H]
         return out
@@ -162,7 +162,7 @@ class SelfAttentionEncoderLayer(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1)
         sa = jnp.einsum("hqk,khd->qhd", attn, v).reshape(M, D)
         sa = nn.Dense(D)(sa)
-        x = nn.LayerNorm()(x + sa)
+        x = nn.LayerNorm(epsilon=1e-5)(x + sa)
         ff = nn.Dense(self.d_ffn)(x)
         ff = nn.Dense(D)(nn.relu(ff))
-        return nn.LayerNorm()(x + ff)
+        return nn.LayerNorm(epsilon=1e-5)(x + ff)

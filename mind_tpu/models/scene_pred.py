@@ -143,10 +143,10 @@ class RelaFusionLayer(nn.Module):
             x_prime, edge = fused_edge_attention_ref(
                 node, edge, key_mask, w, self.n_head, self.update_edge)
 
-        x = nn.LayerNorm()(node + x_prime)
+        x = nn.LayerNorm(epsilon=1e-5)(node + x_prime)
         ff = nn.Dense(self.d_model * 2)(x)
         ff = nn.Dense(self.d_model)(nn.relu(ff))
-        x = nn.LayerNorm()(x + ff)
+        x = nn.LayerNorm(epsilon=1e-5)(x + ff)
         return x, edge
 
 
@@ -244,11 +244,11 @@ class SceneDecoder(nn.Module):
         actor_embed = MLPBlock((H * M // 2, H * M))(actors).reshape(-1, M, H)  # [A, M, H]
         actor_embed = jnp.transpose(actor_embed, (1, 0, 2))  # [M, A, H]
 
-        # ego (actor 0) gets the target-lane embedding in every mode
-        # (network.py:506-508: tgt_embed[0] broadcast over the mode axis of
-        # the [M, A, H] layout injects into actor row 0)
+        # the target-lane embedding is injected into MODE 0 of every actor:
+        # reference network.py:506-508 does tgt_embed[0] = tgt on the
+        # [M, A, H] layout, broadcasting over the actor axis
         A = actors.shape[0]
-        tgt_embed = jnp.zeros_like(actor_embed).at[:, 0, :].set(tgt)
+        tgt_embed = jnp.zeros_like(actor_embed).at[0, :, :].set(tgt)
 
         embed = cls_embed[:, None, :] + actor_embed + tgt_embed  # [M, A, H]
 

@@ -54,7 +54,7 @@ class FusionWeights(NamedTuple):
     ln_e2_b: jnp.ndarray
 
 
-def _ln(x, g, b, eps=1e-6):
+def _ln(x, g, b, eps=1e-5):
     m = jnp.mean(x, axis=-1, keepdims=True)
     v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
     return (x - m) * jax.lax.rsqrt(v + eps) * g + b

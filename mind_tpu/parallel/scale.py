@@ -20,14 +20,59 @@ from mind_tpu.ops.potential import NodeCostData, CostParams
 from mind_tpu.planner.ilqr import TreeTopology, ILQRConfig, ilqr_solve, build_topology
 
 
+def _random_tree_parents(rng, n_nodes: int, max_levels: int, max_width: int,
+                         branch_p: float = 0.2) -> list[int]:
+    """Random branching parent list shaped like AIME cost-tree output: chains
+    of cost nodes that fork at contingency branch points (reference
+    trajectory_tree.py:36-50 builds exactly such trees from scenario nodes).
+
+    Node i's parent is node i-1 (chain growth) except with probability
+    branch_p it forks off any earlier node, subject to the depth and
+    per-level width caps required by the fixed-shape topology tables.
+    """
+    parents = [-1]
+    depth = [0]
+    width = np.zeros(max_levels, np.int64)
+    width[0] = 1
+    for i in range(1, n_nodes):
+        def has_room(j):
+            return depth[j] + 1 < max_levels and width[depth[j] + 1] < max_width
+        if rng.random() < branch_p:
+            cands = [j for j in range(i) if has_room(j)]
+        else:
+            cands = [i - 1] if has_room(i - 1) else \
+                [j for j in range(i) if has_room(j)]
+        if not cands:
+            break
+        p = int(rng.choice(cands))
+        parents.append(p)
+        depth.append(depth[p] + 1)
+        width[depth[p] + 1] += 1
+    return parents
+
+
 def make_tree_batch(n_trees: int, n_nodes: int, max_nodes: int,
-                    max_levels: int, max_width: int, n_exo: int, seed: int = 0):
-    """A batch of randomized chain-with-branch cost trees for scale tests."""
+                    max_levels: int, max_width: int, n_exo: int, seed: int = 0,
+                    branching: bool = True):
+    """A batch of randomized branching cost trees for scale tests/benches.
+
+    Each tree gets its own random topology (mixed depths and fork points, the
+    shape real AIME output has), stacked into a batched TreeTopology so the
+    scatter-add child aggregation in the Riccati sweep is exercised at scale.
+    Pass branching=False for plain shared-chain topologies.
+    """
     rng = np.random.default_rng(seed)
-    # one chain topology shared (topology batching is supported but a shared
-    # static topology matches the 'parallel trees' config)
-    topo = build_topology(list(range(-1, n_nodes - 1)), max_nodes, max_levels,
-                          max_width=max_width)
+    if branching:
+        topos = []
+        for _ in range(n_trees):
+            n_i = int(rng.integers(max(2, n_nodes // 2), n_nodes + 1))
+            parents = _random_tree_parents(rng, n_i, max_levels, max_width)
+            topos.append(build_topology(parents, max_nodes, max_levels,
+                                        max_width=max_width, as_numpy=True))
+        topo = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *topos)
+    else:
+        topo = build_topology(list(range(-1, n_nodes - 1)), max_nodes,
+                              max_levels, max_width=max_width)
 
     lane = np.stack([np.linspace(-50, 200, 64), np.zeros(64)], axis=1)
     params = CostParams(
@@ -71,22 +116,29 @@ def parallel_tree_solve(mesh: Mesh, topo: TreeTopology, nodes: NodeCostData,
                         params: CostParams, x0: jnp.ndarray,
                         ilqr_cfg: ILQRConfig = ILQRConfig(max_iterations=20)):
     """Solve a [n_trees]-batch of contingency problems, trees sharded over
-    the mesh's 'data' axis. Returns (us [n_trees, MN, 2], J [n_trees])."""
-    MN = topo.parent.shape[0]
+    the mesh's 'data' axis. Returns (us [n_trees, MN, 2], J [n_trees]).
+
+    `topo` may be a single TreeTopology shared by all trees, or a batched one
+    (leaves with a leading [n_trees] axis, as produced by make_tree_batch)
+    giving every tree its own branching structure.
+    """
+    batched_topo = topo.parent.ndim == 2
+    MN = topo.parent.shape[-1]
     dp = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
     nodes = jax.tree.map(lambda x: jax.device_put(x, dp), nodes)
     x0 = jax.device_put(x0, dp)
-    topo = jax.tree.map(lambda x: jax.device_put(x, repl), topo)
+    topo = jax.tree.map(
+        lambda x: jax.device_put(x, dp if batched_topo else repl), topo)
     params = jax.tree.map(
         lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, params)
 
-    def solve(nodes_i, x0_i):
+    def solve(topo_i, nodes_i, x0_i):
         us0 = jnp.zeros((MN, 2), x0_i.dtype)
-        xs, us, info = ilqr_solve(topo, x0_i, us0, nodes_i, params, ilqr_cfg)
+        xs, us, info = ilqr_solve(topo_i, x0_i, us0, nodes_i, params, ilqr_cfg)
         return us, info["J"]
 
-    fn = jax.jit(jax.vmap(solve))
-    us, J = fn(nodes, x0)
+    fn = jax.jit(jax.vmap(solve, in_axes=(0 if batched_topo else None, 0, 0)))
+    us, J = fn(topo, nodes, x0)
     return us, J

@@ -273,7 +273,8 @@ class MINDPlanner:
         elif cfg.ckpt_path:
             from mind_tpu.models.weights import try_load_torch_checkpoint
 
-            loaded = try_load_torch_checkpoint(cfg.ckpt_path, self.params)
+            loaded = try_load_torch_checkpoint(cfg.ckpt_path, self.params,
+                                               cfg.net)
             if loaded is not None:
                 self.params = loaded
 

@@ -25,11 +25,37 @@ def test_parallel_tree_solve_sharded():
     mesh = make_mesh()
     topo, nodes, params, x0 = make_tree_batch(
         n_trees=16, n_nodes=10, max_nodes=16, max_levels=16, max_width=2,
-        n_exo=4)
+        n_exo=4, branching=False)
     us, J = parallel_tree_solve(mesh, topo, nodes, params, x0)
     assert us.shape == (16, 16, 2)
     assert np.isfinite(np.asarray(J)).all()
     # outputs actually sharded over the mesh
+    assert len(us.sharding.device_set) == 8
+
+
+def test_parallel_tree_solve_1024_branching():
+    """BASELINE.json scale config: 1024 parallel contingency solves with
+    per-tree branching topologies sharded over the mesh — exercises the
+    scatter-add child aggregation in the Riccati sweep at scale."""
+    from mind_tpu.planner.ilqr import ILQRConfig
+
+    mesh = make_mesh()
+    topo, nodes, params, x0 = make_tree_batch(
+        n_trees=1024, n_nodes=24, max_nodes=32, max_levels=24, max_width=4,
+        n_exo=4, branching=True)
+    # genuinely branching: most trees have at least one multi-child node
+    par = np.asarray(topo.parent)
+    forked = 0
+    for t in range(par.shape[0]):
+        valid = par[t][np.asarray(topo.node_mask[t])]
+        _, counts = np.unique(valid[valid >= 0], return_counts=True)
+        forked += int((counts > 1).any())
+    assert forked > 900, f"only {forked}/1024 trees have a fork"
+
+    us, J = parallel_tree_solve(mesh, topo, nodes, params, x0,
+                                ilqr_cfg=ILQRConfig(max_iterations=10))
+    assert us.shape == (1024, 32, 2)
+    assert np.isfinite(np.asarray(J)).all()
     assert len(us.sharding.device_set) == 8
 
 
