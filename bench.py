@@ -57,7 +57,8 @@ def main():
     av.set_enable_timestep(4.0)
     av.is_enable = False
     av.last_pl_tri = None
-    av.planner.obs_buffer = ObsBuffer(av.planner.cfg.max_actors)
+    av.planner.obs_buffer = ObsBuffer(av.planner.cfg.max_actors,
+                                      origin=av.planner.origin)
     av.planner.metrics.timer.reset()
     sim.sim_horizon = cfg.sim_horizon
 

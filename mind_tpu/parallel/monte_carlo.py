@@ -113,15 +113,17 @@ class MonteCarloSim:
 
     # ------------------------------------------------------------------
     def _exo_state(self, rec: int):
-        """Replay states/validity for the exo slots at a 50 Hz step."""
-        states = np.zeros((self.A, 4), np.float32)
+        """Replay states/validity for the exo slots at a 50 Hz step, in the
+        planner's local frame."""
+        states = np.zeros((self.A, 4), np.float64)
         present = np.zeros(self.A, bool)
         present[0] = True
         for s, r in enumerate(self.exo_rows, start=1):
             states[s] = (self.bundle.pos[r, rec, 0], self.bundle.pos[r, rec, 1],
                          self.bundle.vel[r, rec], self.bundle.ang[r, rec])
             present[s] = self.bundle.has_flag[r, rec]
-        return states, present
+        states[:, :2] -= self.planner.origin
+        return states.astype(np.float32), present
 
     def run(self):
         pc = self.pc
@@ -133,7 +135,9 @@ class MonteCarloSim:
             rec = min(tick, self.bundle.pos.shape[1] - 1)
             if tick % plan_every == 0:
                 states, present = self._exo_state(rec)
-                egos_d = jnp.asarray(self.egos.astype(np.float32))
+                egos_loc = self.egos.copy()
+                egos_loc[:, :2] -= self.planner.origin
+                egos_d = jnp.asarray(egos_loc.astype(np.float32))
                 states_d = jnp.asarray(states)
 
                 def with_ego(e, s=states_d):
@@ -146,11 +150,12 @@ class MonteCarloSim:
 
                 # plan
                 x0s = jnp.asarray(np.concatenate(
-                    [self.egos, self.ctrls], axis=1).astype(np.float32))
+                    [egos_loc, self.ctrls], axis=1).astype(np.float32))
                 warm_p, full_p = self.planner._cost_params()
                 ph = pc.traj_tree.full
                 half = 0.5 * (ph.smooth_grid_size[0] - 1) * ph.smooth_grid_res
-                offs = jnp.asarray((self.egos[:, :2] - half).astype(np.float32))
+                offs = jnp.asarray(
+                    (egos_loc[:, :2] - half).astype(np.float32))
                 warm_p = warm_p._replace(field_offset=offs)
                 full_p = full_p._replace(field_offset=offs)
                 tv = jnp.float32(float(self.planner.lcl_smp.target_velocity))

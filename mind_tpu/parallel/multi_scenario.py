@@ -19,9 +19,15 @@ import jax.numpy as jnp
 
 from mind_tpu.config import SimConfig, PlannerConfig, planner_config_for_demo
 from mind_tpu.models import init_scene_pred
+from mind_tpu.ops.potential import CostParams
+from mind_tpu.planner.aime_device import obs_buffer_update
 from mind_tpu.sim.simulator import Simulator
 from mind_tpu.sim.agents import MINDAgent, CustomizedAgent
-from mind_tpu.planner.planner import MINDPlanner, fused_plan_core
+from mind_tpu.planner.planner import MINDPlanner
+
+
+def _stack(items):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *items)
 
 
 class MultiScenarioSim:
@@ -71,11 +77,7 @@ class MultiScenarioSim:
         assert len({a.enable_timestep for a in self.avs}) == 1
 
         p0 = self.avs[0].planner
-        import functools
-
         core = p0._fused_core
-
-        from mind_tpu.ops.potential import CostParams
 
         # batch every CostParams leaf except the static grid size
         cp_axes = CostParams(
@@ -96,14 +98,11 @@ class MultiScenarioSim:
         # statics never change: stack them once (each eager device op costs
         # ~20 ms over the tunnel)
         planners = [av.planner for av in self.avs]
-        stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
-        self._lanes_b = stack([p.lane_static for p in planners])
-        self._tgts_b = stack([p.tgt_static for p in planners])
-        self._evals_b = stack([p._eval_segs for p in planners])
+        self._lanes_b = _stack([p.lane_static for p in planners])
+        self._tgts_b = _stack([p.tgt_static for p in planners])
+        self._evals_b = _stack([p._eval_segs for p in planners])
         self._tvs_b = jnp.asarray(
             [float(p.lcl_smp.target_velocity) for p in planners], jnp.float32)
-
-        from mind_tpu.ops.potential import CostParams
 
         def stack_cp_base(phase):
             items = [p._cost_params()[phase] for p in planners]
@@ -115,7 +114,53 @@ class MultiScenarioSim:
         self._warm_b = stack_cp_base(0)
         self._full_b = stack_cp_base(1)
 
+        # ONE batched device obs window [S, A, 50, ...]: per-planner updates
+        # are deferred (ObsBuffer.pending) and applied here with a single
+        # vmapped dispatch per trigger instead of S eager dispatches
+        for p in planners:
+            p.obs_buffer.device_updates = False
+        self._bufs = _stack([p.obs_buffer.buf for p in planners])
+        self._obs_update = jax.jit(jax.vmap(obs_buffer_update))
+        # caches for rarely-changing stacked masks/types
+        self._types_b = None
+        self._types_ver = None
+        self._amasks_b = None
+        self._amasks_key = None
+
     # ------------------------------------------------------------------
+    def _flush_obs(self):
+        """Apply all deferred per-scenario obs updates as ONE vmapped
+        dispatch. Scenarios without a pending update (terminated) roll their
+        window forward unobserved."""
+        planners = [av.planner for av in self.avs]
+        if not any(p.obs_buffer.pending is not None for p in planners):
+            return
+        A = planners[0].obs_buffer.A
+        states = np.zeros((len(planners), A, 4), np.float32)
+        present = np.zeros((len(planners), A), bool)
+        for i, p in enumerate(planners):
+            if p.obs_buffer.pending is not None:
+                states[i], present[i] = p.obs_buffer.pending
+                p.obs_buffer.pending = None
+        self._bufs = self._obs_update(self._bufs, jnp.asarray(states),
+                                      jnp.asarray(present))
+
+    def _stacked_types(self, planners):
+        ver = tuple(p.obs_buffer._ver for p in planners)
+        if self._types_ver != ver:
+            self._types_b = jnp.asarray(
+                np.stack([p.obs_buffer.types for p in planners]))
+            self._types_ver = ver
+        return self._types_b
+
+    def _stacked_amasks(self, planners):
+        masks = np.stack([p.obs_buffer.actor_mask() for p in planners])
+        key = masks.tobytes()
+        if self._amasks_key != key:
+            self._amasks_b = jnp.asarray(masks)
+            self._amasks_key = key
+        return self._amasks_b
+
     def _batched_plan(self, ready: List[int]):
         """One vmapped plan each trigger. The dispatch always covers ALL
         scenarios (fixed batch size -> one compilation even when some
@@ -128,22 +173,17 @@ class MultiScenarioSim:
             if av.planner.state is None:
                 av.planner.update_state_ctrl(av.state, av.ctrl)
         planners = [av.planner for av in self.avs]
-        stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
-
-        stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
-        bufs = stack([p.obs_buffer.buf for p in planners])
-        types = jnp.stack([p.obs_buffer.types_device() for p in planners])
-        amasks = jnp.stack([
-            p.obs_buffer.mask_device(p.obs_buffer.actor_mask())
-            for p in planners])
-        # host-assembled small arrays: one upload each
+        bufs = self._bufs
+        types = self._stacked_types(planners)
+        amasks = self._stacked_amasks(planners)
+        # host-assembled small arrays: one upload each (local planning frame)
         x0s = jnp.asarray(np.stack(
-            [np.concatenate([p.state, p.ctrl]) for p in planners]
+            [np.concatenate([p.local_state(), p.ctrl]) for p in planners]
         ).astype(np.float32))
         ph = planners[0].cfg.traj_tree.full
         half = 0.5 * (ph.smooth_grid_size[0] - 1) * ph.smooth_grid_res
         offsets = jnp.asarray(np.stack(
-            [p.state[:2] - half for p in planners]).astype(np.float32))
+            [p.local_state()[:2] - half for p in planners]).astype(np.float32))
         warm_ps = self._warm_b._replace(field_offset=offsets)
         full_ps = self._full_b._replace(field_offset=offsets)
 
@@ -190,6 +230,7 @@ class MultiScenarioSim:
                     else:
                         agent.step()
 
+            self._flush_obs()
             if ready:
                 # batch only when every live scenario triggered together
                 oks = self._batched_plan(ready)

@@ -162,8 +162,11 @@ def _backward(topo: TreeTopology, st: _SolverState, mu):
     n_u = st.us.shape[1]
     V_x = jnp.zeros((MN + 1, n_x))
     V_xx = jnp.zeros((MN + 1, n_x, n_x))
-    k = jnp.zeros((MN, n_u))
-    K = jnp.zeros((MN, n_u, n_x))
+    # extra dump row: padded level entries (-1) must NOT alias a real slot —
+    # duplicate-index scatter order is undefined in XLA, so a clip-to-0 write
+    # can clobber node 0's gains (platform-dependent; bit us on CPU)
+    k = jnp.zeros((MN + 1, n_u))
+    K = jnp.zeros((MN + 1, n_u, n_x))
     eye = jnp.eye(n_x)
 
     def level_step(carry, ids):
@@ -203,8 +206,9 @@ def _backward(topo: TreeTopology, st: _SolverState, mu):
                     + jnp.einsum("nji,njl->nil", Q_ux, K_n))
         v_xx_new = 0.5 * (v_xx_new + jnp.swapaxes(v_xx_new, -1, -2))
 
-        k = k.at[safe_ids].set(jnp.where(valid[:, None], k_n, k[safe_ids]))
-        K = K.at[safe_ids].set(jnp.where(valid[:, None, None], K_n, K[safe_ids]))
+        write_kK = jnp.where(valid, safe_ids, MN)
+        k = k.at[write_kK].set(k_n)
+        K = K.at[write_kK].set(K_n)
 
         # accumulate into parents (root children dump into slot MN)
         par = jnp.where(valid, topo.parent[safe_ids], -1)
@@ -216,7 +220,7 @@ def _backward(topo: TreeTopology, st: _SolverState, mu):
     init = (V_x, V_xx, k, K, jnp.array(True))
     (V_x, V_xx, k, K, pd_ok), _ = jax.lax.scan(
         level_step, init, topo.level_table, reverse=True, unroll=8)
-    return k, K, pd_ok
+    return k[:MN], K[:MN], pd_ok
 
 
 def ilqr_solve(topo: TreeTopology, x0: jnp.ndarray, us_init: jnp.ndarray,

@@ -4,8 +4,9 @@ Re-creates the reference's rendering surface (common/visualization.py,
 simulator.py:109-219): map lane boundaries, agent footprints with heading
 triangles, scenario-tree uncertainty hulls (convex hulls of per-step circles
 — shapely replaced by a small monotone-chain hull), trajectory-tree bands,
-and history trails. Frames render in a process pool and ffmpeg assembles the
-video when available.
+and history trails. Frames render in a spawn-context process pool sized by
+the sim config's `num_threads` (reference simulator.py:122-124) and ffmpeg
+assembles the video when available; `num_threads <= 1` renders serially.
 """
 
 from __future__ import annotations
@@ -13,6 +14,9 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
+from dataclasses import dataclass
+from typing import List
+
 import numpy as np
 
 EXO_COLOR = ("lightcoral", "indianred")
@@ -69,11 +73,36 @@ def reset_ax(ax):
     ax.set_aspect("auto")
 
 
-def draw_map(ax, static_map, z=0.0):
-    for seg in static_map.vector_lane_segments.values():
-        for bound in (seg.left_lane_boundary, seg.right_lane_boundary):
-            ax.plot(bound[:, 0], bound[:, 1], z, color="gray",
-                    linewidth=0.6, alpha=0.6)
+def draw_map(ax, lane_boundaries, z=0.0):
+    for bound in lane_boundaries:
+        ax.plot(bound[:, 0], bound[:, 1], z, color="gray",
+                linewidth=0.6, alpha=0.6)
+
+
+@dataclass
+class RenderScene:
+    """Picklable snapshot of everything a render worker needs — the analog
+    of the reference pickling (frame, config) tuples into its spawn pool
+    (reference simulator.py:118-124)."""
+
+    frames: List[dict]
+    config: object           # SimConfig (plain dataclasses, picklable)
+    lane_boundaries: List[np.ndarray]
+
+    @classmethod
+    def from_sim(cls, sim) -> "RenderScene":
+        bounds = []
+        for seg in sim.smp.map_data.vector_lane_segments.values():
+            bounds.append(np.asarray(seg.left_lane_boundary))
+            bounds.append(np.asarray(seg.right_lane_boundary))
+        return cls(frames=sim.frames, config=sim.config,
+                   lane_boundaries=bounds)
+
+
+def _scene_of(sim_or_scene) -> RenderScene:
+    if isinstance(sim_or_scene, RenderScene):
+        return sim_or_scene
+    return RenderScene.from_sim(sim_or_scene)
 
 
 def draw_agent(ax, obs, z=0.1):
@@ -141,9 +170,11 @@ def draw_traj(ax, history, z=0.05):
 
 def render_frame(sim, frame_idx, ax):
     """One frame (reference simulator.py:148-219), carrying forward the last
-    available trees for frames between plans."""
-    frames = sim.frames
-    cfg = sim.config
+    available trees for frames between plans. Accepts a Simulator or a
+    RenderScene."""
+    scene = _scene_of(sim)
+    frames = scene.frames
+    cfg = scene.config
 
     def latest(key):
         for i in range(frame_idx, -1, -1):
@@ -163,7 +194,7 @@ def render_frame(sim, frame_idx, ax):
     ax.view_init(elev=cfg.render_config.camera_elev,
                  azim=180 + np.rad2deg(cfg.render_config.camera_yaw))
 
-    draw_map(ax, sim.smp.map_data)
+    draw_map(ax, scene.lane_boundaries)
     if scen_tree_vis is not None:
         draw_scen_trees(ax, scen_tree_vis)
     if traj_tree_vis is not None:
@@ -204,16 +235,50 @@ def render_png(sim, frame_idx, img_dir, figsize=12):
     plt.close(fig)
 
 
+def _render_chunk(scene: RenderScene, indices, img_dir, figsize):
+    for idx in indices:
+        render_png(scene, idx, img_dir, figsize)
+
+
 def render_frames_to_video(sim, figsize=12):
     """PNG-per-frame + ffmpeg assembly (reference simulator.py:109-132).
-    Falls back to leaving PNGs in place when ffmpeg is unavailable."""
+
+    Renders frames in a spawn-context process pool of `num_threads` workers
+    (the sim-config knob, reference simulator.py:122-124); serially when
+    num_threads <= 1 or only a handful of frames exist. Falls back to leaving
+    PNGs in place when ffmpeg is unavailable.
+
+    Spawn re-imports the caller's __main__ (standard multiprocessing
+    semantics — the reference's spawn pool has the same requirement), so
+    calling scripts must be import-safe; interactive/stdin callers are
+    detected and rendered serially.
+    """
     out_dir = sim.config.output_dir
     os.makedirs(out_dir, exist_ok=True)
     img_dir = os.path.join(out_dir, "imgs")
     os.makedirs(img_dir, exist_ok=True)
 
-    for idx in range(len(sim.frames)):
-        render_png(sim, idx, img_dir, figsize)
+    scene = RenderScene.from_sim(sim)
+    n = len(scene.frames)
+    workers = min(int(getattr(sim.config, "num_threads", 1)), n)
+    # spawn re-imports __main__; interactive/stdin parents have no file to
+    # re-import, so fall back to serial rendering there
+    import sys
+    main_file = getattr(sys.modules.get("__main__"), "__file__", None)
+    if main_file is None or not os.path.exists(main_file):
+        workers = 1
+    if workers > 1:
+        import multiprocessing as mp
+
+        # one pickled scene per worker (interleaved chunks balance the
+        # trailing frames' longer history trails)
+        chunks = [list(range(w, n, workers)) for w in range(workers)]
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(workers) as pool:
+            pool.starmap(_render_chunk,
+                         [(scene, c, img_dir, figsize) for c in chunks])
+    else:
+        _render_chunk(scene, list(range(n)), img_dir, figsize)
 
     video = os.path.join(out_dir, f"{sim.seq_id}_{sim.sim_name}.mov")
     if shutil.which("ffmpeg"):

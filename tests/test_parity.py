@@ -1,0 +1,82 @@
+"""End-to-end parity: the production jitted plan cycle vs the float64
+reference-control-flow host mirror (mind_tpu.parity), shared weights.
+
+Covers the BASELINE.json north star at two granularities:
+- one full plan cycle on identical observations -> control agreement;
+- a short closed-loop lockstep segment of demo_1 -> ego-trajectory
+  deviation <= 1e-3 (the full four-demo, 500-step certification is
+  scripts/parity_run.py, report committed as PARITY_TRACES.md).
+"""
+
+import numpy as np
+import pytest
+
+
+def _build_pair(max_steps):
+    from mind_tpu.parity import HostRefPlanner
+    from mind_tpu.config import SimConfig, planner_config_for_demo
+    from mind_tpu.sim.simulator import Simulator
+    from mind_tpu.sim.agents import MINDAgent
+
+    def make():
+        cfg = SimConfig.from_json("configs/demo_1.json",
+                                  data_root="/root/reference/data")
+        cfg.render = False
+        pcfg = planner_config_for_demo("demo_1")
+        pcfg.net.compute_dtype = "float32"
+        sim = Simulator(cfg, planner_cfg=pcfg, max_steps=max_steps)
+        sim.init_sim()
+        return sim
+
+    sim_dev, sim_host = make(), make()
+    for a_dev, a_host in zip(sim_dev.agents, sim_host.agents):
+        if isinstance(a_host, MINDAgent):
+            pl = a_dev.planner
+            a_host.planner = HostRefPlanner(
+                pl.cfg, a_host._smp, a_host.lcl_smp,
+                shared_net=(pl.model, pl.params, pl.batched_apply))
+            a_host.planner.update_target_lane(a_host.gt_tgt_lane)
+    return sim_dev, sim_host
+
+
+def test_single_plan_cycle_control_parity():
+    """Feed both planners identical observation streams; the first plan's
+    control must agree to well under the 1e-3 trajectory budget."""
+    from mind_tpu.sim.agents import MINDAgent
+
+    sim_dev, sim_host = _build_pair(max_steps=1)
+    ego_dev = next(a for a in sim_dev.agents if isinstance(a, MINDAgent))
+    ego_host = next(a for a in sim_host.agents if isinstance(a, MINDAgent))
+
+    # identical replayed observation stream at the 10 Hz trigger cadence
+    for sims in ((sim_dev, ego_dev), (sim_host, ego_host)):
+        sim, ego = sims
+        for t in range(45):
+            obs = [a.observe() for a in sim.agents
+                   if not isinstance(a, MINDAgent) and a.is_valid()]
+            obs = [ego.observe()] + obs
+            ego.update_observation(obs)
+            for a in sim.agents:
+                a.step()
+                a.update_state(0.1)
+
+    state = ego_dev.lcl_smp.ego_agent.state
+    ego_dev.planner.update_state_ctrl(state, np.zeros(2))
+    ego_host.planner.update_state_ctrl(state, np.zeros(2))
+    ok_d, ctrl_d, _ = ego_dev.planner.plan()
+    ok_h, ctrl_h, _ = ego_host.planner.plan()
+    assert ok_d and ok_h
+    # f32 production solve vs f64 mirror, both converged to rel_tol=1e-5:
+    # controls agree to a few 1e-4 (position effect per plan cycle << 1e-3 m)
+    np.testing.assert_allclose(ctrl_d, ctrl_h, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_closed_loop_parity_demo1():
+    """>= 50 closed-loop steps of demo_1, lockstep, deviation <= 1e-3."""
+    from mind_tpu.parity.runner import run_parity_demo
+
+    r = run_parity_demo("demo_1", max_steps=260)
+    assert r["closed_loop_steps"] >= 50
+    assert r["host_failures"] == 0
+    assert r["max_dev_cl"] <= 1e-3, r
