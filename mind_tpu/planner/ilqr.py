@@ -188,12 +188,22 @@ def _backward(topo: TreeTopology, st: _SolverState, mu):
 
         # PD check for 2x2 Quu: leading minor > 0 and det > 0
         a = Q_uu[:, 0, 0]
-        det = Q_uu[:, 0, 0] * Q_uu[:, 1, 1] - Q_uu[:, 0, 1] * Q_uu[:, 1, 0]
+        b = Q_uu[:, 0, 1]
+        c = Q_uu[:, 1, 0]
+        d = Q_uu[:, 1, 1]
+        det = a * d - b * c
         pd = (a > 0) & (det > 0)
         pd_ok = pd_ok & jnp.all(jnp.where(valid, pd, True))
 
-        k_n = -jnp.linalg.solve(Q_uu, Q_u[..., None])[..., 0]
-        K_n = -jnp.linalg.solve(Q_uu, Q_ux)
+        # closed-form 2x2 inverse (a generic batched LU solve is ~10x the
+        # FLOPs and dominates this latency-bound level loop)
+        inv_det = 1.0 / jnp.where(det != 0, det, 1.0)
+        Quu_inv = jnp.stack([
+            jnp.stack([d, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2) * inv_det[:, None, None]
+        k_n = -jnp.einsum("nij,nj->ni", Quu_inv, Q_u)
+        K_n = -jnp.einsum("nij,njk->nik", Quu_inv, Q_ux)
 
         Kt = jnp.swapaxes(K_n, -1, -2)
         v_x_new = (Q_x
