@@ -102,7 +102,23 @@ def _smooth_3x3(local: jnp.ndarray) -> jnp.ndarray:
 
 def potential_field_eval(pos: jnp.ndarray, node: NodeCostData, p: CostParams):
     """Value, gradient [2] and Hessian [2,2] of the smoothed biquadratic
-    potential at `pos` (reference potential.py:72-264)."""
+    potential at `pos` (reference potential.py:72-264).
+
+    Queries outside the grid domain evaluate the polynomial at the projected
+    boundary point plus a convex quadratic pull-back term. The reference
+    clamps only the CELL index (potential.py:104-110), which extrapolates the
+    border patch's Bezier polynomial: its middle basis term 2(1-t)t grows
+    quadratically NEGATIVE for t outside [0,1], so a far-out-of-grid rollout
+    candidate would score hugely negative cost and win the line search (a
+    latent reference bug its in-grid CPU trajectories never trigger; our
+    parallel alpha-grid line search does). In-grid queries are bit-identical
+    to the reference formula."""
+    lo = p.field_offset
+    hi = p.field_offset + p.res * (p.grid_n - 1)
+    pos_c = jnp.clip(pos, lo, hi)
+    delta = pos - pos_c  # zero inside the domain
+    pos = pos_c
+
     # integer cell of the query, clamped (potential.py:104-110)
     fx = (pos[0] - p.field_offset[0]) / p.res
     fy = (pos[1] - p.field_offset[1]) / p.res
@@ -151,6 +167,19 @@ def potential_field_eval(pos: jnp.ndarray, node: NodeCostData, p: CostParams):
 
     grad = jnp.stack([gx, gy])
     hess = jnp.array([[hxx, hxy], [hxy, hyy]])
+
+    # convex out-of-domain pull-back at the target-parabola scale (matches
+    # the in-grid w_tgt * prob * d^2 growth rate); identity inside the grid.
+    # On a clamped axis the polynomial is constant (evaluated at the
+    # projection), so its grad/hess components there are zeroed for
+    # value/derivative consistency.
+    k = p.w_tgt * node.prob
+    out_axis = (delta != 0.0).astype(hess.dtype)
+    in_axis = 1.0 - out_axis
+    val = val + k * jnp.sum(delta * delta)
+    grad = grad * in_axis + 2.0 * k * delta
+    hess = hess * in_axis[:, None] * in_axis[None, :] \
+        + 2.0 * k * jnp.diag(out_axis)
     return val, grad, hess
 
 

@@ -113,7 +113,18 @@ def _smooth_3x3(g: np.ndarray) -> np.ndarray:
 def potential_field_eval_np(pos: np.ndarray, node: HostCostNode,
                             p: HostCostParams):
     """(value, grad [2], hess [2,2]) of the smoothed biquadratic field at
-    `pos` (reference potential.py:72-264)."""
+    `pos` (reference potential.py:72-264).
+
+    Out-of-domain queries project onto the grid box and add a convex
+    pull-back term, matching ops/potential.py:potential_field_eval (the
+    reference's cell-index-only clamp extrapolates the border Bezier patch
+    negatively — a latent bug its in-grid CPU trajectories never hit)."""
+    lo = np.asarray(p.field_offset, float)
+    hi = lo + p.res * (p.grid_n - 1)
+    pos_c = np.clip(np.asarray(pos, float), lo, hi)
+    delta = np.asarray(pos, float) - pos_c
+    pos = pos_c
+
     fx = (pos[0] - p.field_offset[0]) / p.res
     fy = (pos[1] - p.field_offset[1]) / p.res
     x_idx = int(np.clip(np.round(fx), 0, p.grid_n - 1))
@@ -148,7 +159,17 @@ def potential_field_eval_np(pos: np.ndarray, node: HostCostNode,
     hxx = (bv @ grid @ ddb) / p.res ** 2
     hyy = (ddb @ grid @ bu) / p.res ** 2
     hxy = (dbv @ grid @ dbu) / p.res ** 2
-    return val, np.array([gx, gy]), np.array([[hxx, hxy], [hxy, hyy]])
+    grad = np.array([gx, gy])
+    hess = np.array([[hxx, hxy], [hxy, hyy]])
+
+    # convex pull-back outside the domain (see ops/potential.py)
+    k = p.w_tgt * node.prob
+    out_axis = (delta != 0.0).astype(float)
+    in_axis = 1.0 - out_axis
+    val = val + k * float(delta @ delta)
+    grad = grad * in_axis + 2.0 * k * delta
+    hess = hess * np.outer(in_axis, in_axis) + 2.0 * k * np.diag(out_axis)
+    return val, grad, hess
 
 
 def cost_node_eval_np(x: np.ndarray, u: np.ndarray, node: HostCostNode,

@@ -167,3 +167,37 @@ def test_cost_node_eval_consistency():
                                np.asarray(2 * params.w_ctrl * node.prob * u),
                                rtol=1e-5)
     assert float(l) > 0
+
+
+def test_out_of_domain_query_stays_convex():
+    """Queries beyond the grid must never score negative cost and must have a
+    gradient pulling back toward the domain. The raw reference formula
+    (potential.py:104-110 clamps only the cell index) extrapolates the border
+    Bezier patch negatively, which let iLQR line searches accept runaway
+    trajectories (episode-mode divergence, round 2)."""
+    node, params, lane, offset = make_setup()
+    f = jax.jit(lambda p: potential_field_eval(p, node, params))
+
+    lo = np.asarray(params.field_offset)
+    hi = lo + float(params.res) * (params.grid_n - 1)
+    far = jnp.asarray([hi[0] + 200.0, lo[1] - 350.0], jnp.float32)
+    val, grad, hess = [np.asarray(o) for o in f(far)]
+    assert val > 0, f"negative out-of-domain cost {val}"
+    # gradient points away from the domain (cost increases moving out)
+    assert grad[0] > 0 and grad[1] < 0
+    # convex along the outward axes
+    assert hess[0, 0] > 0 and hess[1, 1] > 0
+
+    # growing distance -> growing cost
+    far2 = jnp.asarray([hi[0] + 400.0, lo[1] - 700.0], jnp.float32)
+    val2 = float(f(far2)[0])
+    assert val2 > val
+
+    # boundary continuity: clamped eval == direct eval just inside
+    edge_in = jnp.asarray([hi[0] - 1e-3, lo[1] + 1e-3], jnp.float32)
+    edge_out = jnp.asarray([hi[0] + 1e-3, lo[1] - 1e-3], jnp.float32)
+    v_in = float(f(edge_in)[0])
+    v_out = float(f(edge_out)[0])
+    # the surface gradient near the far corner is O(100)/m, so a 2e-3 step
+    # moves the value by ~0.3; continuity just means no jump beyond that
+    np.testing.assert_allclose(v_in, v_out, atol=1.0)
