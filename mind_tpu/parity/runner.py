@@ -83,3 +83,115 @@ def run_parity_demo(demo: str, max_steps: int,
         "wall_dev_s": t_dev,
         "wall_host_s": t_host,
     }
+
+
+class _TandemPlanner:
+    """Delegates the MINDPlanner surface to BOTH the production planner and
+    the host mirror, applying the production control while recording each
+    cycle's (state, ctrl_dev, ctrl_host). Because both sides receive the
+    SAME observations and ego state every cycle, the mirror is re-synced at
+    each plan: the per-cycle deviation measures pure implementation
+    agreement, free of the closed loop's chaotic amplification."""
+
+    def __init__(self, dev_pl, host_pl):
+        self.dev = dev_pl
+        self.host = host_pl
+        self.records = []
+        self._pending = None
+
+    def update_observation(self, obs):
+        self.dev.update_observation(obs)
+        self.host.update_observation(obs)
+
+    def update_state_ctrl(self, state, ctrl):
+        self.dev.update_state_ctrl(state, ctrl)
+        self.host.update_state_ctrl(state, ctrl)
+        self._pending = (np.asarray(state, float).copy(),
+                         np.asarray(ctrl, float).copy())
+
+    def update_target_lane(self, lane):
+        self.dev.update_target_lane(lane)
+        self.host.update_target_lane(lane)
+
+    def plan(self):
+        ok_d, ctrl_d, trees = self.dev.plan()
+        ok_h, ctrl_h, _ = self.host.plan()
+        state, prev_ctrl = self._pending
+        self.records.append({
+            "state": state, "prev_ctrl": prev_ctrl,
+            "ok_dev": bool(ok_d), "ok_host": bool(ok_h),
+            "ctrl_dev": None if ctrl_d is None else np.asarray(ctrl_d, float),
+            "ctrl_host": None if ctrl_h is None else np.asarray(ctrl_h, float),
+        })
+        return ok_d, ctrl_d, trees
+
+
+def run_parity_demo_resync(demo: str, max_steps: int,
+                           data_root: str = DATA_ROOT) -> dict:
+    """Per-cycle resynced parity over the full horizon: ONE closed-loop sim
+    driven by the production planner, with the float64 mirror planning in
+    tandem from identical inputs every cycle. Reports the worst per-cycle
+    trajectory deviation = max distance between 5-tick rollouts of the two
+    controls from the same state (the deviation one plan cycle contributes
+    before the next re-plan corrects it)."""
+    from mind_tpu.config import SimConfig, planner_config_for_demo
+    from mind_tpu.sim.simulator import Simulator
+    from mind_tpu.sim.agents import MINDAgent
+    from mind_tpu.common.kinematics import kine_propagate_np
+    from mind_tpu.parity import HostRefPlanner
+
+    cfg = SimConfig.from_json(f"configs/{demo}.json", data_root=data_root)
+    cfg.render = False
+    pcfg = planner_config_for_demo(demo)
+    pcfg.net.compute_dtype = "float32"
+    pcfg.traj_tree.rel_tol = 1e-6
+    sim = Simulator(cfg, planner_cfg=pcfg, max_steps=max_steps)
+    sim.init_sim()
+
+    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
+    dev_pl = ego.planner
+    dev_pl.export_trees = False
+    host_pl = HostRefPlanner(
+        dev_pl.cfg, ego._smp, ego.lcl_smp,
+        shared_net=(dev_pl.model, dev_pl.params, dev_pl.batched_apply))
+    host_pl.update_target_lane(ego.gt_tgt_lane)
+    tandem = _TandemPlanner(dev_pl, host_pl)
+    ego.planner = tandem
+
+    t0 = time.perf_counter()
+    sim.run_sim()
+    wall = time.perf_counter() - t0
+
+    vp = ego.veh_param
+    dt = sim.config.sim_step
+    devs, ctrl_devs = [], []
+    agree = 0
+    for r in tandem.records:
+        if not (r["ok_dev"] and r["ok_host"]):
+            continue
+        agree += 1
+        sd = sh = r["state"].copy()
+        worst = 0.0
+        for _ in range(5):
+            sd = kine_propagate_np(sd, r["ctrl_dev"], dt, vp.wb, vp.max_spd,
+                                   vp.max_str)
+            sh = kine_propagate_np(sh, r["ctrl_host"], dt, vp.wb, vp.max_spd,
+                                   vp.max_str)
+            worst = max(worst, float(np.linalg.norm(sd[:2] - sh[:2])))
+        devs.append(worst)
+        ctrl_devs.append(float(np.abs(r["ctrl_dev"] - r["ctrl_host"]).max()))
+
+    nan = float("nan")
+    return {
+        "demo": demo,
+        "ticks": sim.metrics["ticks"],
+        "plans": len(tandem.records),
+        "plans_compared": agree,
+        "ok_mismatches": sum(1 for r in tandem.records
+                             if r["ok_dev"] != r["ok_host"]),
+        "max_cycle_dev": float(np.max(devs)) if devs else nan,
+        "mean_cycle_dev": float(np.mean(devs)) if devs else nan,
+        "max_ctrl_dev": float(np.max(ctrl_devs)) if ctrl_devs else nan,
+        "host_failures": host_pl.diagnostics["plan_failures"],
+        "wall_s": wall,
+    }
