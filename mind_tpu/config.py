@@ -37,8 +37,10 @@ class NetConfig:
     param_out: str = "bezier"
     bezier_order: int = 7
     # run the fusion-layer core through the Pallas VMEM-resident kernel
-    # (ops/fusion_attention.py) instead of plain XLA
-    use_pallas_fusion: bool = False
+    # (ops/fusion_attention.py) instead of plain XLA. None = auto: enabled
+    # on TPU (measured 1.3x on the network forward, ~7% end-to-end on the
+    # fused episode), disabled on CPU where pallas only interprets
+    use_pallas_fusion: bool | None = None
     # inference compute dtype ('float32' | 'bfloat16'); bfloat16 runs the
     # network on the MXU's native precision (params stay float32)
     compute_dtype: str = "float32"

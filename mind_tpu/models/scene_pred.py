@@ -170,14 +170,25 @@ class FusionNet(nn.Module):
         edge = jnp.pad(edge, ((0, 1), (0, 1), (0, 0)))
 
         x = tokens
+        use_pallas = resolve_pallas_fusion(cfg)
         for i in range(cfg.n_scene_layer):
             update_edge = cfg.update_edge and i != cfg.n_scene_layer - 1
             x, edge = RelaFusionLayer(cfg.d_embed, cfg.d_rpe, cfg.n_scene_head,
-                                      update_edge, cfg.use_pallas_fusion)(
+                                      update_edge, use_pallas)(
                 x, edge, token_mask)
 
         A = actors.shape[0]
         return x[:A], x[A:-1], x[-1]  # actors, lanes, cls
+
+
+def resolve_pallas_fusion(cfg) -> bool:
+    """None = auto: pallas on real TPU backends, plain XLA on CPU (where
+    pallas kernels only run interpreted, far too slow for the test suite)."""
+    if cfg.use_pallas_fusion is not None:
+        return cfg.use_pallas_fusion
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def bezier_T(n_order: int, n_step: int) -> np.ndarray:
@@ -333,7 +344,10 @@ def init_scene_pred(cfg: NetConfig, max_actors: int, max_lanes: int, seed: int =
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    if cpu is not None and jax.default_backend() != "cpu":
+    # the pallas kernel cannot trace on the CPU device (compiled mode is
+    # TPU-only), so pallas-enabled configs initialize on the default device
+    if cpu is not None and jax.default_backend() != "cpu" \
+            and not resolve_pallas_fusion(cfg):
         with jax.default_device(cpu):
             params = model.init(jax.random.PRNGKey(seed), *dummy)
         params = jax.device_put(params, jax.devices()[0])

@@ -121,23 +121,33 @@ def _kernel(node_ref, edge_ref, mask_ref,
 
     q = (jnp.dot(tar, wq_ref[:], preferred_element_type=f32) + bq_ref[0])
     k = (jnp.dot(mem.reshape(N * tj, D), wk_ref[:],
-                 preferred_element_type=f32) + bk_ref[0]).reshape(N, tj, n_head, dh)
+                 preferred_element_type=f32) + bk_ref[0]).reshape(N, tj, D)
     v = (jnp.dot(mem.reshape(N * tj, D), wv_ref[:],
-                 preferred_element_type=f32) + bv_ref[0]).reshape(N, tj, n_head, dh)
-    qh = q.reshape(tj, n_head, dh)
+                 preferred_element_type=f32) + bv_ref[0]).reshape(N, tj, D)
 
-    logits = jnp.einsum("jhd,ijhd->hji", qh, k,
-                        preferred_element_type=f32) / jnp.sqrt(dh)
+    # per-(i, j) keys make this a batched contraction, not a plain matmul;
+    # Mosaic on this libtpu rejects dot_general with batch dims (and 4D
+    # shape casts), and the attention part is ~1% of the tile's FLOPs (the
+    # E x D memory matmuls dominate), so the contractions run per head as
+    # 3D VPU multiply-reduce: logits_h[i, j] = sum_d q[j, d_h] * k[i, j, d_h]
     mask = mask_ref[:, 0] > 0.5               # [N]
-    logits = jnp.where(mask[None, None, :], logits, -1e9)
-    attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("hji,ijhd->jhd", attn, v,
-                     preferred_element_type=f32).reshape(tj, D)
+    inv_sqrt = 1.0 / jnp.sqrt(dh)
+    outs = []
+    for h in range(n_head):
+        sl = slice(h * dh, (h + 1) * dh)
+        kh = k[:, :, sl]                      # [N, tj, dh]
+        vh = v[:, :, sl]
+        qh = q[:, sl]                         # [tj, dh]
+        logits = jnp.sum(kh * qh[None], axis=-1) * inv_sqrt   # [N, tj]
+        logits = jnp.where(mask[:, None], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=0)  # over sources
+        outs.append(jnp.sum(vh * attn[:, :, None], axis=0))   # [tj, dh]
+    out = jnp.concatenate(outs, axis=-1)      # [tj, D]
     out_ref[:] = jnp.dot(out, wo_ref[:], preferred_element_type=f32) + bo_ref[0]
 
 
 def fused_edge_attention(node, edge, key_mask, w: FusionWeights, n_head: int,
-                         update_edge: bool = True, tj: int = 32,
+                         update_edge: bool = True, tj: int = 16,
                          interpret: bool = False):
     """Pallas-fused layer core. Pads N up to a multiple of tj (padded tokens
     masked out of attention; padded edge rows/cols are dropped on return)."""

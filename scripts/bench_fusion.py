@@ -72,6 +72,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    assert jax.default_backend() != "cpu", (
+        "TPU claim unavailable (stale claim from a recently killed client?) "
+        "- rerun in a few minutes; pallas compiled kernels need the TPU")
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
     ms_xla, out_xla = time_forward(False, args.batch, args.reps)
     ms_pal, out_pal = time_forward(True, args.batch, args.reps)
 
