@@ -45,4 +45,7 @@ def test_batched_matches_individual():
         sim.run_sim()
         singles.append(av.state)
 
-    np.testing.assert_allclose(batched_states, np.stack(singles), atol=1e-4)
+    # batched (vmapped) vs individual programs are different XLA
+    # compilations; agreement is bounded by the 1e-3 parity budget,
+    # not by ULP identity
+    np.testing.assert_allclose(batched_states, np.stack(singles), atol=1e-3)
