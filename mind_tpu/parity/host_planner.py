@@ -151,6 +151,8 @@ class HostRefPlanner:
 
         nodes = self._branch_aime(actor_mask)
         trees = self._export_trees(nodes)
+        self.last_n_trees = len(trees)
+        self.last_n_nodes = len(nodes)
         if not trees:
             self.diagnostics["plan_failures"] += 1
             return False, None, None

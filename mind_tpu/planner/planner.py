@@ -452,6 +452,7 @@ class MINDPlanner:
             self.metrics.incr("plan_failures")
             return False, None, None
         self.metrics.incr("plans")
+        self.last_n_nodes = n_nodes
 
         with self.metrics.timer.phase("flatten"):
             trees = build_cost_indices(parent, duration, end_flag, tree_id,
@@ -468,6 +469,7 @@ class MINDPlanner:
             cost_step_b = jnp.asarray(np.stack([t[2] for t in trees]))
             tree_mask = jnp.asarray(
                 np.arange(MAX_TREES) < n_real)
+            self.last_n_trees = n_real
             self.metrics.observe("scen_trees", n_real)
             self.metrics.observe("scen_nodes", n_nodes)
 

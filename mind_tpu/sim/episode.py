@@ -195,13 +195,16 @@ def make_episode_fn(planner, veh_param, dt: float):
             new_ctrl = jnp.where(do_plan & ok, out[:2], ctrl_in)
             failed = failed | (do_plan & ~ok)
 
-            # 5 ticks of 50 Hz propagation, recording loop-start states
+            # 5 ticks of 50 Hz propagation, recording loop-start states.
+            # After a plan failure the reference terminates the episode
+            # (simulator.py:85-89); here the ego freezes so post-failure
+            # frames stay bounded (the host wrapper truncates at fail_cycle)
             def tick(s, i):
                 t = t0 + i
                 s = jnp.where(t <= inp.enable_tick, ego_rep[i], s)
                 rec = s
                 s_next = kine_propagate(s, new_ctrl, dt, wb, max_spd, max_str)
-                s = jnp.where(t >= inp.enable_tick, s_next, s)
+                s = jnp.where((t >= inp.enable_tick) & ~failed, s_next, s)
                 return s, rec
 
             ego, rec = jax.lax.scan(tick, ego, jnp.arange(TICKS_PER_PLAN))
