@@ -105,3 +105,13 @@ def test_jit_compiles_once(small_net):
     inp2 = _rand_inputs(cfg, jax.random.PRNGKey(4))
     out2 = fn(params, **inp2)  # same shapes -> cached executable
     assert not np.allclose(np.asarray(out1[0]), np.asarray(out2[0]))
+
+
+def test_resolve_pallas_fusion_auto():
+    """None = auto: off on the CPU suite backend, explicit values win."""
+    from mind_tpu.config import NetConfig
+    from mind_tpu.models.scene_pred import resolve_pallas_fusion
+
+    assert resolve_pallas_fusion(NetConfig()) is False  # suite runs on CPU
+    assert resolve_pallas_fusion(NetConfig(use_pallas_fusion=True)) is True
+    assert resolve_pallas_fusion(NetConfig(use_pallas_fusion=False)) is False
