@@ -280,8 +280,8 @@ def render_frames_to_video(sim, figsize=12):
     else:
         _render_chunk(scene, list(range(n)), img_dir, figsize)
 
-    video = os.path.join(out_dir, f"{sim.seq_id}_{sim.sim_name}.mov")
     if shutil.which("ffmpeg"):
+        video = os.path.join(out_dir, f"{sim.seq_id}_{sim.sim_name}.mov")
         subprocess.run(
             ["ffmpeg", "-r", "25", "-i",
              os.path.join(img_dir, "frame_%03d.png"),
@@ -289,4 +289,14 @@ def render_frames_to_video(sim, figsize=12):
             check=False, capture_output=True)
         shutil.rmtree(img_dir)
         return video
-    return img_dir
+    # no ffmpeg on this host: assemble a playable MJPEG AVI in pure Python
+    # (reference simulator.py:128-131's deliverable, without the dependency)
+    from mind_tpu.viz.video import write_mjpeg_avi
+
+    video = os.path.join(out_dir, f"{sim.seq_id}_{sim.sim_name}.avi")
+    pngs = sorted(
+        os.path.join(img_dir, f) for f in os.listdir(img_dir)
+        if f.startswith("frame_") and f.endswith(".png"))
+    write_mjpeg_avi(pngs, video, fps=25)
+    shutil.rmtree(img_dir)
+    return video
