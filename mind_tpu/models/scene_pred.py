@@ -117,7 +117,10 @@ class RelaFusionLayer(nn.Module):
         lecun = nn.initializers.lecun_normal()
         zeros = nn.initializers.zeros
         ones = nn.initializers.ones
-        p = lambda name, shape, init: self.param(name, init, shape)
+        # dtype pinned explicitly: bare self.param would default to
+        # jnp.float_ = float64 under the package-wide x64 mode
+        p = lambda name, shape, init: self.param(name, init, shape,
+                                                 jnp.float32)
         w = FusionWeights(
             wm_e=p("w_mem_edge", (E, D), lecun),
             wm_s=p("w_mem_src", (D, D), lecun),
@@ -182,13 +185,14 @@ class FusionNet(nn.Module):
 
 
 def resolve_pallas_fusion(cfg) -> bool:
-    """None = auto: pallas on real TPU backends, plain XLA on CPU (where
-    pallas kernels only run interpreted, far too slow for the test suite)."""
+    """None = auto: pallas on real TPU backends only. The kernel targets
+    Mosaic lowering; on CPU it would run interpreted (far too slow) and on
+    any other backend it would not compile at all."""
     if cfg.use_pallas_fusion is not None:
         return cfg.use_pallas_fusion
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() == "tpu"
 
 
 def bezier_T(n_order: int, n_step: int) -> np.ndarray:
@@ -328,32 +332,36 @@ def init_scene_pred(cfg: NetConfig, max_actors: int, max_lanes: int, seed: int =
     model = ScenePredNet(cfg)
     To = cfg.obs_len - 2
     N = max_actors + max_lanes
+    f32 = jnp.float32
     dummy = (
-        jnp.zeros((max_actors, To, cfg.in_actor)),
+        jnp.zeros((max_actors, To, cfg.in_actor), f32),
         jnp.ones((max_actors,), bool),
-        jnp.zeros((max_lanes, 10, cfg.in_lane)),
+        jnp.zeros((max_lanes, 10, cfg.in_lane), f32),
         jnp.ones((max_lanes,), bool),
-        jnp.zeros((N, N, cfg.d_rpe_in)),
-        jnp.zeros((10, cfg.in_lane)),
-        jnp.zeros((20,)),
+        jnp.zeros((N, N, cfg.d_rpe_in), f32),
+        jnp.zeros((10, cfg.in_lane), f32),
+        jnp.zeros((20,), f32),
     )
-    # initialize on the host CPU backend when available (accelerator-side
-    # init would compile the whole forward graph just to draw weights), then
-    # move the parameters to the default device once
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        cpu = None
-    # the pallas kernel cannot trace on the CPU device (compiled mode is
-    # TPU-only), so pallas-enabled configs initialize on the default device
-    if cpu is not None and jax.default_backend() != "cpu" \
-            and not resolve_pallas_fusion(cfg):
-        with jax.default_device(cpu):
-            params = model.init(jax.random.PRNGKey(seed), *dummy)
-        params = jax.device_put(params, jax.devices()[0])
-    else:
-        params = model.init(jax.random.PRNGKey(seed), *dummy)
+    # jit the whole init as ONE compiled (persistently cached) program:
+    # un-jitted flax init traces the forward eagerly op-by-op, which costs
+    # ~3.5 min of per-op latency over the TPU tunnel. The pallas kernel has
+    # no init-time params of its own — the pallas and reference paths share
+    # an IDENTICAL parameter structure (RelaFusionLayer creates FusionWeights
+    # before selecting a path) — so init uses a pallas-disabled clone, which
+    # also lets the same program serve the CPU backend.
+    import dataclasses
 
+    init_model = ScenePredNet(
+        dataclasses.replace(cfg, use_pallas_fusion=False))
+    params = jax.jit(init_model.init)(jax.random.PRNGKey(seed), *dummy)
+
+    return model, params, make_batched_apply(model, cfg)
+
+
+def make_batched_apply(model: ScenePredNet, cfg: NetConfig):
+    """Batched forward (vmap over a leading axis of tree nodes) with the
+    compute-dtype policy applied: under bfloat16 inference, params + float
+    inputs are cast down and outputs return as float32."""
     dtype = jnp.dtype(cfg.compute_dtype)
 
     def batched_apply(params, actors, actor_mask, lanes, lane_mask, rpe,
@@ -374,4 +382,4 @@ def init_scene_pred(cfg: NetConfig, max_actors: int, max_lanes: int, seed: int =
             out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
         return out
 
-    return model, params, batched_apply
+    return batched_apply

@@ -12,6 +12,12 @@ their slot states, presence masks, and the obs-buffer slot assignment are all
 known ahead of time (reference agent.py:119-149 replay semantics); only the
 ego state, control, and observation window are carried through the scan.
 
+Everything per-scenario — the replay schedule, lane graph, target lane, cost
+parameters — is a runtime ARGUMENT of the program, not a trace-time constant,
+so ONE compiled executable serves all four demos, `jax.vmap` batches S
+scenarios into one program (`run_episodes_batched`), and K Monte-Carlo
+perturbed egos of one scenario share the statics (`run_episode_monte_carlo`).
+
 Semantics-matching notes (all verified against the host loop by
 tests/test_episode.py):
 - observations recorded at loop start of each tick (pre-update), ego slot 0;
@@ -21,25 +27,44 @@ tests/test_episode.py):
   control resets to zero (reference agent.py:208-214 init_state_ctrl);
 - between plans the ego integrates the clipped kinematic bicycle at 50 Hz
   with the held control (reference agent.py:297-300, kinematics.py:22-36);
-- a plan failure latches: later cycles skip planning and the episode
-  reports the failing cycle (reference simulator.py:85-89 termination).
+- a plan failure (no surviving scenario tree, or a non-finite control)
+  latches: later cycles skip planning and the episode reports the failing
+  cycle (reference simulator.py:85-89 termination).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import NamedTuple, Optional
+import json
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from mind_tpu.common.kinematics import kine_propagate
+from mind_tpu.ops.potential import CostParams
 from mind_tpu.planner.aime_device import DeviceObsBuffer, obs_buffer_update
 from mind_tpu.planner.planner import fused_plan_core, type_onehot
+from mind_tpu.planner.scene_prep import LaneGraphStatic, TargetLaneStatic
 
 
 TICKS_PER_PLAN = 5  # 50 Hz sim / 10 Hz planner (reference agent.py:156-157)
+
+
+class EpisodeStatics(NamedTuple):
+    """Per-scenario device data that is constant over the episode. Passed as
+    runtime arguments (NOT baked into the compilation) so one executable
+    serves every scenario and the whole pytree vmaps across scenarios."""
+
+    lane_static: LaneGraphStatic
+    tgt_static: TargetLaneStatic
+    eval_seg_start: jnp.ndarray   # [P-1, 2] selection-lane segments
+    eval_seg_end: jnp.ndarray     # [P-1, 2]
+    eval_seg_mask: jnp.ndarray    # [P-1]
+    warm_params: CostParams       # field_offset re-centered per cycle
+    full_params: CostParams
 
 
 class EpisodeInputs(NamedTuple):
@@ -128,116 +153,188 @@ def build_episode_inputs(sim, horizon: Optional[int] = None) -> EpisodeInputs:
 
     slot_states[:, :, :2] -= origin
     ego_replay[:, :, :2] -= origin
+    # float64 schedule: the episode's obs/replay stream feeds the decision
+    # pipeline at mirror precision (see DeviceObsBuffer docstring)
     return EpisodeInputs(
-        slot_states=jnp.asarray(slot_states, jnp.float32),
+        slot_states=jnp.asarray(slot_states, jnp.float64),
         present=jnp.asarray(present),
         active=jnp.asarray(active),
-        ego_replay=jnp.asarray(ego_replay, jnp.float32),
+        ego_replay=jnp.asarray(ego_replay, jnp.float64),
         types=jnp.asarray(types),
         enable_tick=jnp.int32(enable_tick),
         target_vel=jnp.float32(float(ego.lcl_smp.target_velocity)),
     )
 
 
-def make_episode_fn(planner, veh_param, dt: float):
-    """Build the jitted episode program around one planner's statics.
-
-    Returns fn(params, inputs) -> (rec [C,5,4], ok [C], planned [C],
-    iters [C]) — a single device program for the whole episode."""
-    cfg = planner.cfg
+def build_episode_statics(planner) -> EpisodeStatics:
+    """Collect one planner's per-scenario device statics as episode data."""
     warm_p, full_p = planner._cost_params()
+    ev_s, ev_e, ev_m = planner._eval_segs
+    return EpisodeStatics(
+        lane_static=planner.lane_static,
+        tgt_static=planner.tgt_static,
+        eval_seg_start=ev_s,
+        eval_seg_end=ev_e,
+        eval_seg_mask=ev_m,
+        warm_params=warm_p,
+        full_params=full_p,
+    )
+
+
+def _episode_core(params, inp: EpisodeInputs, st: EpisodeStatics,
+                  enable_tick, *, core, half, wb, max_spd, max_str, dt):
+    """The whole closed loop as one pure scan over plan cycles.
+
+    `enable_tick` is a SEPARATE (never-batched) scalar: it is the only input
+    feeding the plan `lax.cond` predicate, so under `jax.vmap` the cond stays
+    a cond (uniform across lanes) instead of degrading to a select that runs
+    the full AIME+iLQR plan on every pre-enable cycle of every lane — the
+    difference between the batched 4-demo program costing ~1× and ~2.5× the
+    planned-cycle work. The per-lane failure latch is applied to the OUTPUTS
+    (a failed lane keeps planning in lock-step but discards the results),
+    matching the host loop's observable behavior."""
+    C = inp.slot_states.shape[0]
+    A = inp.types.shape[0]
+    eval_segs = (st.eval_seg_start, st.eval_seg_end, st.eval_seg_mask)
+
+    def cycle(carry, xs):
+        buf, ego, ctrl, failed = carry
+        states, present, act, ego_rep, c = xs
+        t0 = c * TICKS_PER_PLAN
+        enabled = t0 >= enable_tick
+        # pre-update ego obs: replay until (and including) the enable
+        # tick, carried state after
+        ego_obs = jnp.where(t0 <= enable_tick, states[0], ego)
+        states = states.at[0].set(ego_obs)
+        buf = obs_buffer_update(buf, states, present)
+        amask = act & present
+
+        ctrl_in = jnp.where(t0 <= enable_tick,
+                            jnp.zeros_like(ctrl), ctrl)
+        x0 = jnp.concatenate([ego_obs, ctrl_in]).astype(jnp.float32)
+        offset = jnp.asarray([x0[0] - half, x0[1] - half], jnp.float32)
+        wp = st.warm_params._replace(field_offset=offset)
+        fp = st.full_params._replace(field_offset=offset)
+
+        def plan_branch(_):
+            return core(params, buf, inp.types, amask, x0, wp, fp,
+                        inp.target_vel, st.lane_static, st.tgt_static,
+                        eval_segs)
+
+        out = jax.lax.cond(enabled, plan_branch,
+                           lambda _: jnp.zeros(4, jnp.float32),
+                           operand=None)
+        do_plan = enabled & ~failed
+        # non-finite controls fail the plan exactly like the host loop
+        # (planner.py _plan_fused); otherwise a NaN ctrl would be applied
+        # with plan_ok still True — a silent semantic divergence
+        ok = (out[2] > 0.5) & jnp.all(jnp.isfinite(out[:2]))
+        new_ctrl = jnp.where(do_plan & ok, out[:2], ctrl_in)
+        failed = failed | (do_plan & ~ok)
+
+        # 5 ticks of 50 Hz propagation in float64 (the host loop integrates
+        # the ego in host f64 — reference agent.py:297-300), recording
+        # loop-start states. After a plan failure the reference terminates
+        # the episode (simulator.py:85-89); here the ego freezes so
+        # post-failure frames stay bounded (the host wrapper truncates at
+        # fail_cycle)
+        def tick(s, i):
+            t = t0 + i
+            s = jnp.where(t <= inp.enable_tick, ego_rep[i], s)
+            rec = s
+            # widen the f32 control to f64 BEFORE a*dt etc. — the host loop
+            # holds the same f32-valued control in f64 (agents.py plan())
+            s_next = kine_propagate(s, new_ctrl.astype(s.dtype), dt, wb,
+                                    max_spd, max_str)
+            s = jnp.where((t >= inp.enable_tick) & ~failed, s_next, s)
+            return s, rec
+
+        ego, rec = jax.lax.scan(tick, ego, jnp.arange(TICKS_PER_PLAN))
+        return (buf, ego, new_ctrl, failed), (rec, ok, do_plan, out[3],
+                                              new_ctrl)
+
+    buf0 = DeviceObsBuffer.create(A)
+    carry0 = (buf0, jnp.zeros(4, jnp.float64), jnp.zeros(2, jnp.float32),
+              jnp.array(False))
+    xs = (inp.slot_states, inp.present, inp.active, inp.ego_replay,
+          jnp.arange(C, dtype=jnp.int32))
+    _, (rec, ok, planned, iters, ctrls) = jax.lax.scan(cycle, carry0, xs)
+    return rec, ok, planned, iters, ctrls
+
+
+# One jitted episode program per (planner configuration, batch mode): the
+# compiled executable is shared by every scenario with the same paddings —
+# all four demos hit ONE compilation (and its persistent-cache entry).
+_EPISODE_FN_CACHE: dict = {}
+
+
+def _cfg_signature(planner, veh_param, dt: float) -> str:
+    cfg = dataclasses.asdict(planner.cfg)
+    cfg.pop("ckpt_path", None)  # weights are data, not program structure
+    cfg.pop("seed", None)
+    return json.dumps({
+        "cfg": cfg,
+        "veh": (veh_param.wb, veh_param.max_spd, veh_param.max_str),
+        "dt": dt,
+    }, sort_keys=True, default=str)
+
+
+def _make_core(planner, veh_param, dt: float, batched_apply=None):
+    cfg = planner.cfg
     ph = cfg.traj_tree.full
     half = 0.5 * (ph.smooth_grid_size[0] - 1) * ph.smooth_grid_res
     weights = (cfg.comfort_acc_weight, cfg.comfort_str_weight,
                cfg.efficiency_weight, cfg.target_weight)
     core = functools.partial(
-        fused_plan_core, batched_apply=planner.batched_apply, cfg=cfg,
+        fused_plan_core,
+        batched_apply=batched_apply or planner.batched_apply, cfg=cfg,
         ilqr_cfg=planner.ilqr_cfg, warm_ilqr_cfg=planner.warm_ilqr_cfg,
         weights=weights)
-    lane_static, tgt_static = planner.lane_static, planner.tgt_static
-    eval_segs = planner._eval_segs
-    wb, max_spd, max_str = veh_param.wb, veh_param.max_spd, veh_param.max_str
-
-    def episode(params, inp: EpisodeInputs):
-        A = inp.types.shape[0]
-        C = inp.slot_states.shape[0]
-
-        def cycle(carry, xs):
-            buf, ego, ctrl, failed = carry
-            states, present, act, ego_rep, c = xs
-            t0 = c * TICKS_PER_PLAN
-            enabled = t0 >= inp.enable_tick
-            # pre-update ego obs: replay until (and including) the enable
-            # tick, carried state after
-            ego_obs = jnp.where(t0 <= inp.enable_tick, states[0], ego)
-            states = states.at[0].set(ego_obs)
-            buf = obs_buffer_update(buf, states, present)
-            amask = act & present
-
-            ctrl_in = jnp.where(t0 <= inp.enable_tick,
-                                jnp.zeros_like(ctrl), ctrl)
-            x0 = jnp.concatenate([ego_obs, ctrl_in]).astype(jnp.float32)
-            offset = jnp.asarray([x0[0] - half, x0[1] - half], jnp.float32)
-            wp = warm_p._replace(field_offset=offset)
-            fp = full_p._replace(field_offset=offset)
-
-            do_plan = enabled & ~failed
-
-            def plan_branch(_):
-                return core(params, buf, inp.types, amask, x0, wp, fp,
-                            inp.target_vel, lane_static, tgt_static,
-                            eval_segs)
-
-            out = jax.lax.cond(do_plan, plan_branch,
-                               lambda _: jnp.zeros(4, jnp.float32),
-                               operand=None)
-            ok = out[2] > 0.5
-            new_ctrl = jnp.where(do_plan & ok, out[:2], ctrl_in)
-            failed = failed | (do_plan & ~ok)
-
-            # 5 ticks of 50 Hz propagation, recording loop-start states.
-            # After a plan failure the reference terminates the episode
-            # (simulator.py:85-89); here the ego freezes so post-failure
-            # frames stay bounded (the host wrapper truncates at fail_cycle)
-            def tick(s, i):
-                t = t0 + i
-                s = jnp.where(t <= inp.enable_tick, ego_rep[i], s)
-                rec = s
-                s_next = kine_propagate(s, new_ctrl, dt, wb, max_spd, max_str)
-                s = jnp.where((t >= inp.enable_tick) & ~failed, s_next, s)
-                return s, rec
-
-            ego, rec = jax.lax.scan(tick, ego, jnp.arange(TICKS_PER_PLAN))
-            return (buf, ego, new_ctrl, failed), (rec, ok, do_plan, out[3],
-                                                  new_ctrl)
-
-        buf0 = DeviceObsBuffer.create(A)
-        carry0 = (buf0, jnp.zeros(4, jnp.float32), jnp.zeros(2, jnp.float32),
-                  jnp.array(False))
-        xs = (inp.slot_states, inp.present, inp.active, inp.ego_replay,
-              jnp.arange(C, dtype=jnp.int32))
-        _, (rec, ok, planned, iters, ctrls) = jax.lax.scan(cycle, carry0, xs)
-        return rec, ok, planned, iters, ctrls
-
-    return jax.jit(episode)
+    return functools.partial(
+        _episode_core, core=core, half=half,
+        wb=veh_param.wb, max_spd=veh_param.max_spd, max_str=veh_param.max_str,
+        dt=dt)
 
 
-def run_episode(sim, horizon: Optional[int] = None) -> EpisodeResult:
-    """Run one scenario's closed loop as a single device program.
+def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
+    """The jitted episode program for one planner configuration.
 
-    `sim` must be an initialized Simulator with one MINDAgent ego. The
-    returned ego trajectory matches `Simulator.run_sim()` +
-    `sim.ego_trajectory()` (tests/test_episode.py asserts <= 1e-3)."""
-    from mind_tpu.sim.agents import MINDAgent
+    batch='single': fn(params, inputs, statics);
+    batch='scenarios': vmapped over leading axes of BOTH inputs and statics;
+    batch='copies': vmapped over inputs only (shared statics — Monte-Carlo).
+    """
+    key = (_cfg_signature(planner, veh_param, dt), batch)
+    fn = _EPISODE_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    batched_apply = None
+    if batch == "copies":
+        # the pallas fusion kernel does not survive the extra vmap level
+        # (Mosaic fails to legalize the doubly-batched grid), and at
+        # copies*branch batch sizes the plain-XLA path batches just as well
+        from mind_tpu.models.scene_pred import (
+            ScenePredNet, make_batched_apply, resolve_pallas_fusion)
 
-    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
-    pl = ego.planner
-    inp = build_episode_inputs(sim, horizon)
-    fn = getattr(pl, "_episode_fn", None)
-    if fn is None:
-        fn = make_episode_fn(pl, ego.veh_param, sim.sim_step)
-        pl._episode_fn = fn
-    rec, ok, planned, iters, ctrls = fn(pl.params, inp)
+        if resolve_pallas_fusion(planner.cfg.net):
+            net_cfg = dataclasses.replace(planner.cfg.net,
+                                          use_pallas_fusion=False)
+            batched_apply = make_batched_apply(ScenePredNet(net_cfg), net_cfg)
+    body = _make_core(planner, veh_param, dt, batched_apply)
+    # enable_tick (last positional arg) is NEVER batched: it drives the plan
+    # cond, which must stay uniform across vmap lanes (see _episode_core)
+    if batch == "single":
+        fn = jax.jit(body)
+    elif batch == "scenarios":
+        fn = jax.jit(jax.vmap(body, in_axes=(None, 0, 0, None)))
+    elif batch == "copies":
+        fn = jax.jit(jax.vmap(body, in_axes=(None, 0, None, None)))
+    else:
+        raise ValueError(batch)
+    _EPISODE_FN_CACHE[key] = fn
+    return fn
+
+
+def _to_result(pl, rec, ok, planned, iters, ctrls) -> EpisodeResult:
     rec = np.asarray(rec, np.float64).reshape(-1, 4)
     rec[:, :2] += pl.origin
     ok = np.asarray(ok)
@@ -254,3 +351,131 @@ def run_episode(sim, horizon: Optional[int] = None) -> EpisodeResult:
         plan_calls=int(planned.sum()) if fail_cycle < 0
         else int(planned[: fail_cycle + 1].sum()),
     )
+
+
+def run_episode(sim, horizon: Optional[int] = None) -> EpisodeResult:
+    """Run one scenario's closed loop as a single device program.
+
+    `sim` must be an initialized Simulator with one MINDAgent ego. The
+    returned ego trajectory matches `Simulator.run_sim()` +
+    `sim.ego_trajectory()` (tests/test_episode.py asserts <= 1e-3)."""
+    from mind_tpu.sim.agents import MINDAgent
+
+    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
+    pl = ego.planner
+    inp = build_episode_inputs(sim, horizon)
+    statics = build_episode_statics(pl)
+    fn = episode_fn_for(pl, ego.veh_param, sim.sim_step)
+    out = fn(pl.params, inp, statics, inp.enable_tick)
+    return _to_result(pl, *out)
+
+
+def _stack(items):
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *items)
+
+
+def run_episodes_batched(sims, horizon: Optional[int] = None
+                         ) -> List[EpisodeResult]:
+    """All S scenarios as ONE vmapped device program (one sync total).
+
+    Every sim must be initialized with the same paddings/plan cadence; the
+    planners should share network weights (see MultiScenario bench). This is
+    the BASELINE.json "4 demos as one batched rollout" config executed in
+    episode mode: S × 500 steps, one device program, one host sync."""
+    from mind_tpu.sim.agents import MINDAgent
+
+    egos = [next(a for a in s.agents if isinstance(a, MINDAgent))
+            for s in sims]
+    pls = [e.planner for e in egos]
+    inps = [build_episode_inputs(s, horizon) for s in sims]
+    ticks = {int(i.enable_tick) for i in inps}
+    assert len(ticks) == 1, f"egos must share the enable tick, got {ticks}"
+    inp_b = _stack(inps)
+    st_b = _stack([build_episode_statics(p) for p in pls])
+    fn = episode_fn_for(pls[0], egos[0].veh_param, sims[0].sim_step,
+                        batch="scenarios")
+    out = fn(pls[0].params, inp_b, st_b, jnp.int32(ticks.pop()))
+    outs_np = [np.asarray(o) for o in out]
+    return [
+        _to_result(pls[i], *(o[i] for o in outs_np))
+        for i in range(len(sims))
+    ]
+
+
+def build_mc_inputs(sim, k: int, pos_sigma: float = 0.5,
+                    vel_sigma: float = 0.25, seed: int = 0,
+                    horizon: Optional[int] = None,
+                    corridor_frac: float = 0.1) -> EpisodeInputs:
+    """K perturbed-ego copies of one scenario's episode schedule.
+
+    The ego enables immediately (cycle 0) from a perturbed start state.
+    Position noise is split into lane-frame components: sigma_long along the
+    target lane, and a lateral sigma capped at `corridor_frac *
+    tar_dist_thres` so the perturbation respects the corridor the reference's
+    target-lane prune enforces (reference scenario_tree.py:373-379) — wide
+    isotropic noise parks most copies outside the corridor where every plan
+    legitimately fails, which makes a poor scale workload (round-2 finding).
+    """
+    from mind_tpu.sim.agents import MINDAgent
+
+    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
+    pl = ego.planner
+    inp = build_episode_inputs(sim, horizon)
+
+    rng = np.random.default_rng(seed)
+    base = np.asarray(inp.ego_replay[0, 0], np.float64)  # local frame
+    yaw = base[3]
+    lat_sigma = min(pos_sigma,
+                    corridor_frac * pl.cfg.scen_tree.tar_dist_thres)
+    d_long = rng.normal(0.0, pos_sigma, k)
+    d_lat = rng.normal(0.0, lat_sigma, k)
+    dx = d_long * np.cos(yaw) - d_lat * np.sin(yaw)
+    dy = d_long * np.sin(yaw) + d_lat * np.cos(yaw)
+    dv = rng.normal(0.0, vel_sigma, k)
+
+    starts = np.tile(base, (k, 1))
+    starts[:, 0] += dx
+    starts[:, 1] += dy
+    starts[:, 2] = np.maximum(starts[:, 2] + dv, 0.0)
+
+    def one(start):
+        s = jnp.asarray(start, jnp.float64)
+        return inp._replace(
+            slot_states=inp.slot_states.at[0, 0].set(s),
+            ego_replay=inp.ego_replay.at[0, 0].set(s),
+            enable_tick=jnp.int32(0),
+        )
+
+    return _stack([one(starts[i]) for i in range(k)])
+
+
+def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
+                            vel_sigma: float = 0.25, seed: int = 0,
+                            horizon: Optional[int] = None,
+                            chunk: int = 8) -> List[EpisodeResult]:
+    """K Monte-Carlo perturbed closed-loop episodes, vmapped on device.
+
+    Lanes run in chunks of `chunk` copies per device program: each plan
+    cycle's batched network forward materializes a [lanes*B, N, N, D] fusion
+    edge memory (N = actors+lanes+1 = 129..144 tokens), so 64 concurrent
+    lanes would need ~2x5 GB of HBM scratch just for one layer — 8 lanes
+    keep the whole program comfortably resident while already saturating the
+    chip."""
+    from mind_tpu.sim.agents import MINDAgent
+
+    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
+    pl = ego.planner
+    inp_b = build_mc_inputs(sim, k, pos_sigma, vel_sigma, seed, horizon)
+    statics = build_episode_statics(pl)
+    fn = episode_fn_for(pl, ego.veh_param, sim.sim_step, batch="copies")
+    results: List[EpisodeResult] = []
+    for lo in range(0, k, chunk):
+        hi = min(lo + chunk, k)
+        inp_c = jax.tree.map(lambda x: x[lo:hi], inp_b)
+        out = fn(pl.params, inp_c, statics, jnp.int32(0))
+        outs_np = [np.asarray(o) for o in out]
+        results.extend(
+            _to_result(pl, *(o[i] for o in outs_np))
+            for i in range(hi - lo))
+    return results
