@@ -20,3 +20,17 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Enable 64-bit mode package-wide: decision-critical scalars (AIME
+# branch/prune/merge thresholds, probability renormalization, tree-selection
+# costs) evaluate in float64 on device so the production f32 pipeline takes
+# the same discrete decisions as the float64 reference mirror (PARITY.md).
+# Every hot-path array pins an explicit float32/bfloat16 dtype — x64 only
+# changes the DEFAULT dtype of un-annotated literals, and the test suite
+# guards the hot programs against accidental f64 promotion.
+import os as _os
+
+if _os.environ.get("MIND_TPU_DISABLE_X64", "0") != "1":
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)

@@ -61,10 +61,11 @@ def linear_upsample2(x: jnp.ndarray) -> jnp.ndarray:
     out[i] samples the source at (i + 0.5) / 2 - 0.5, edge-clamped.
     x: [..., T, C] -> [..., 2T, C]."""
     T = x.shape[-2]
-    src = (jnp.arange(2 * T) + 0.5) / 2.0 - 0.5
+    src = ((jnp.arange(2 * T, dtype=jnp.int32) + jnp.float32(0.5)) / 2.0
+           - 0.5).astype(x.dtype)
     lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, T - 1)
     hi = jnp.clip(lo + 1, 0, T - 1)
-    w = jnp.clip(src - lo, 0.0, 1.0)
+    w = jnp.clip(src - lo.astype(x.dtype), 0.0, 1.0)
     xl = jnp.take(x, lo, axis=-2)
     xh = jnp.take(x, hi, axis=-2)
     return xl + (xh - xl) * w[..., :, None]

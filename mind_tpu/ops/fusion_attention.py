@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -83,7 +84,8 @@ def fused_edge_attention_ref(node, edge, key_mask, w: FusionWeights,
     q = (node @ w.wq + w.bq).reshape(N, n_head, dh)
     k = (mem @ w.wk + w.bk).reshape(N, N, n_head, dh)
     v = (mem @ w.wv + w.bv).reshape(N, N, n_head, dh)
-    logits = jnp.einsum("jhd,ijhd->hji", q, k) / jnp.sqrt(dh).astype(node.dtype)
+    logits = jnp.einsum("jhd,ijhd->hji", q, k) * jnp.asarray(
+        1.0 / dh**0.5, node.dtype)
     logits = jnp.where(key_mask[None, None, :], logits, -1e9)
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("hji,ijhd->jhd", attn, v).reshape(N, D)
@@ -131,7 +133,7 @@ def _kernel(node_ref, edge_ref, mask_ref,
     # E x D memory matmuls dominate), so the contractions run per head as
     # 3D VPU multiply-reduce: logits_h[i, j] = sum_d q[j, d_h] * k[i, j, d_h]
     mask = mask_ref[:, 0] > 0.5               # [N]
-    inv_sqrt = 1.0 / jnp.sqrt(dh)
+    inv_sqrt = jnp.float32(1.0 / dh**0.5)     # host scalar: keep f32 on x64
     outs = []
     for h in range(n_head):
         sl = slice(h * dh, (h + 1) * dh)
@@ -164,7 +166,11 @@ def fused_edge_attention(node, edge, key_mask, w: FusionWeights, n_head: int,
     maskf = key_mask.astype(jnp.float32)[:, None]  # [Np, 1]
 
     grid = (Np // tj,)
-    full = lambda *s: pl.BlockSpec(s, lambda j: tuple(0 for _ in s),
+    # index maps must yield i32: bare python 0s trace as i64 under the
+    # package-wide x64 mode, which Mosaic refuses to legalize (and index
+    # maps may not capture tracers, so this must be a host constant)
+    zero = np.int32(0)
+    full = lambda *s: pl.BlockSpec(s, lambda j: tuple(zero for _ in s),
                                    memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, tj=tj, n_head=n_head,
                                update_edge=update_edge)
@@ -176,7 +182,7 @@ def fused_edge_attention(node, edge, key_mask, w: FusionWeights, n_head: int,
         grid=grid,
         in_specs=[
             full(Np, D),                                    # node
-            pl.BlockSpec((Np, tj, E), lambda j: (0, j, 0),
+            pl.BlockSpec((Np, tj, E), lambda j: (zero, j, zero),
                          memory_space=pltpu.VMEM),          # edge tile
             full(Np, 1),                                    # mask
             full(E, D), full(D, D), full(D, D), full(1, D),  # memory proj
@@ -187,8 +193,9 @@ def fused_edge_attention(node, edge, key_mask, w: FusionWeights, n_head: int,
             full(1, E), full(1, E), full(1, E), full(1, E),  # LN e1, e2
         ],
         out_specs=[
-            pl.BlockSpec((tj, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Np, tj, E), lambda j: (0, j, 0),
+            pl.BlockSpec((tj, D), lambda j: (j, zero),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, tj, E), lambda j: (zero, j, zero),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -208,17 +215,19 @@ def fused_edge_attention(node, edge, key_mask, w: FusionWeights, n_head: int,
 def random_weights(key, d: int, e: int) -> FusionWeights:
     ks = jax.random.split(key, 12)
     s = 0.08
+    f32 = jnp.float32
+    norm = lambda k, sh: jax.random.normal(k, sh, f32) * s
     return FusionWeights(
-        wm_e=jax.random.normal(ks[0], (e, d)) * s,
-        wm_s=jax.random.normal(ks[1], (d, d)) * s,
-        wm_t=jax.random.normal(ks[2], (d, d)) * s,
-        bm=jnp.zeros(d),
-        ln_m_g=jnp.ones(d), ln_m_b=jnp.zeros(d),
-        wq=jax.random.normal(ks[3], (d, d)) * s, bq=jnp.zeros(d),
-        wk=jax.random.normal(ks[4], (d, d)) * s, bk=jnp.zeros(d),
-        wv=jax.random.normal(ks[5], (d, d)) * s, bv=jnp.zeros(d),
-        wo=jax.random.normal(ks[6], (d, d)) * s, bo=jnp.zeros(d),
-        we=jax.random.normal(ks[7], (d, e)) * s, be=jnp.zeros(e),
-        ln_e1_g=jnp.ones(e), ln_e1_b=jnp.zeros(e),
-        ln_e2_g=jnp.ones(e), ln_e2_b=jnp.zeros(e),
+        wm_e=norm(ks[0], (e, d)),
+        wm_s=norm(ks[1], (d, d)),
+        wm_t=norm(ks[2], (d, d)),
+        bm=jnp.zeros(d, f32),
+        ln_m_g=jnp.ones(d, f32), ln_m_b=jnp.zeros(d, f32),
+        wq=norm(ks[3], (d, d)), bq=jnp.zeros(d, f32),
+        wk=norm(ks[4], (d, d)), bk=jnp.zeros(d, f32),
+        wv=norm(ks[5], (d, d)), bv=jnp.zeros(d, f32),
+        wo=norm(ks[6], (d, d)), bo=jnp.zeros(d, f32),
+        we=norm(ks[7], (d, e)), be=jnp.zeros(e, f32),
+        ln_e1_g=jnp.ones(e, f32), ln_e1_b=jnp.zeros(e, f32),
+        ln_e2_g=jnp.ones(e, f32), ln_e2_b=jnp.zeros(e, f32),
     )

@@ -126,7 +126,7 @@ def potential_field_eval(pos: jnp.ndarray, node: NodeCostData, p: CostParams):
     y_idx = jnp.clip(jnp.round(fy).astype(jnp.int32), 0, p.grid_n - 1)
 
     # 3x3 raw patch, zero outside the grid
-    offs = jnp.array([-1, 0, 1])
+    offs = jnp.array([-1, 0, 1], jnp.int32)
     def row(dy):
         def col(dx):
             ix, iy = x_idx + dx, y_idx + dy
@@ -152,7 +152,7 @@ def potential_field_eval(pos: jnp.ndarray, node: NodeCostData, p: CostParams):
     def dbasis(t):
         return jnp.array([-2 + 2 * t, 2 - 4 * t, 2 * t])
 
-    ddbasis = jnp.array([2.0, -4.0, 2.0])
+    ddbasis = jnp.array([2.0, -4.0, 2.0], grid.dtype)
 
     bu, bv = basis(u), basis(v)
     dbu, dbv = dbasis(u), dbasis(v)
@@ -219,7 +219,9 @@ def cost_node_eval(x: jnp.ndarray, u: jnp.ndarray, node: NodeCostData, p: CostPa
     l_x = sp_grad + sc_grad
     l_x = l_x.at[:2].add(f_grad)
     l_u = cp_grad
-    l_xx = jnp.diag(sp_hess + sc_hess)
+    # diag bases follow the state/control dtype (weight-only terms are f32;
+    # under an f64 solve the scatter-adds below must not downcast)
+    l_xx = jnp.diag((sp_hess + sc_hess).astype(x.dtype))
     l_xx = l_xx.at[:2, :2].add(f_hess)
-    l_uu = jnp.diag(cp_hess)
+    l_uu = jnp.diag(cp_hess.astype(u.dtype))
     return l, l_x, l_u, l_xx, l_uu

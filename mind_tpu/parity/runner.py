@@ -85,6 +85,135 @@ def run_parity_demo(demo: str, max_steps: int,
     }
 
 
+def run_parity_episode_playback(demo: str, max_steps: int,
+                                data_root: str = DATA_ROOT,
+                                enable_timestep: Optional[float] = None
+                                ) -> dict:
+    """Per-cycle resynced parity for the BENCHED path: the fused single-
+    program episode (sim/episode.py — the configuration that produces the
+    headline steps/s) vs the float64 reference-control-flow mirror.
+
+    The episode program runs once on device and records its per-cycle
+    controls and loop-start ego states. The mirror is then driven through the
+    IDENTICAL observation stream (the episode's own replay schedule with the
+    episode's recorded ego states patched into slot 0), planning once per
+    cycle from exactly the state the device program planned from. Per-cycle
+    deviation = max distance between 5-tick rollouts of the two controls from
+    the same state — the deviation one plan cycle contributes before the next
+    re-plan corrects it, measured on the same code path the bench times."""
+    from mind_tpu.config import SimConfig, planner_config_for_demo
+    from mind_tpu.sim.simulator import Simulator
+    from mind_tpu.sim.agents import MINDAgent
+    from mind_tpu.sim.episode import (
+        TICKS_PER_PLAN,
+        build_episode_inputs,
+        run_episode,
+    )
+    from mind_tpu.common.kinematics import kine_propagate_np
+    from mind_tpu.data.av2 import ObjectType
+    from mind_tpu.planner.planner import TYPE_ORDER
+    from mind_tpu.parity import HostRefPlanner
+
+    cfg = SimConfig.from_json(f"configs/{demo}.json", data_root=data_root)
+    cfg.render = False
+    if enable_timestep is not None:  # short-horizon harness testing
+        cfg.cl_agents[0].enable_timestep = enable_timestep
+    pcfg = planner_config_for_demo(demo)
+    sim = Simulator(cfg, max_steps=max_steps, planner_cfg=pcfg)
+    sim.init_sim()
+    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
+    dev_pl = ego.planner
+
+    t0 = time.perf_counter()
+    res = run_episode(sim, max_steps)
+    t_epi = time.perf_counter() - t0
+    inp = build_episode_inputs(sim, max_steps)
+
+    host_pl = HostRefPlanner(
+        dev_pl.cfg, ego._smp, ego.lcl_smp,
+        shared_net=(dev_pl.model, dev_pl.params, dev_pl.batched_apply))
+    host_pl.update_target_lane(ego.gt_tgt_lane)
+
+    origin = dev_pl.origin
+    slot_states = np.asarray(inp.slot_states, np.float64)
+    present = np.asarray(inp.present)
+    active = np.asarray(inp.active)
+    types = np.asarray(inp.types)
+    enable_tick = int(inp.enable_tick)
+    C = slot_states.shape[0]
+
+    # reverse the one-hot type encoding (round-trips via type_onehot)
+    slot_types = []
+    for row in types:
+        if row.sum() == 0:
+            slot_types.append(ObjectType.UNKNOWN)
+        else:
+            i = int(np.argmax(row))
+            slot_types.append(TYPE_ORDER[i] if i < 6 else ObjectType.STATIC)
+
+    vp = ego.veh_param
+    dt = sim.config.sim_step
+    devs, ctrl_devs, records = [], [], []
+    ok_flips = 0
+    t0 = time.perf_counter()
+    for c in range(C):
+        t_tick = c * TICKS_PER_PLAN
+        ego_state = res.ego_states[c * TICKS_PER_PLAN].astype(np.float64)
+        obs = []
+        for s in range(slot_states.shape[1]):
+            if not (active[c, s] and present[c, s]):
+                continue
+            st = slot_states[c, s].copy()
+            st[:2] += origin
+            if s == 0:
+                st = ego_state.copy()
+            obs.append((f"slot_{s}", st, slot_types[s]))
+        host_pl.update_observation(obs)
+
+        if not res.planned[c]:
+            continue
+        if res.fail_cycle >= 0 and c > res.fail_cycle:
+            break
+        ctrl_in = (np.zeros(2) if t_tick <= enable_tick
+                   else res.controls[c - 1].astype(np.float64))
+        host_pl.update_state_ctrl(ego_state, ctrl_in)
+        ok_h, ctrl_h, _ = host_pl.plan()
+        ok_d = bool(res.plan_ok[c])
+        rec = {"cycle": c, "ok_dev": ok_d, "ok_host": bool(ok_h)}
+        if ok_d != bool(ok_h):
+            ok_flips += 1
+        elif ok_d:
+            ctrl_d = res.controls[c].astype(np.float64)
+            sd = sh = ego_state.copy()
+            worst = 0.0
+            for _ in range(TICKS_PER_PLAN):
+                sd = kine_propagate_np(sd, ctrl_d, dt, vp.wb, vp.max_spd,
+                                       vp.max_str)
+                sh = kine_propagate_np(sh, ctrl_h, dt, vp.wb, vp.max_spd,
+                                       vp.max_str)
+                worst = max(worst, float(np.linalg.norm(sd[:2] - sh[:2])))
+            devs.append(worst)
+            ctrl_devs.append(float(np.abs(ctrl_d - ctrl_h).max()))
+            rec["cycle_dev"] = worst
+        records.append(rec)
+    wall = time.perf_counter() - t0
+
+    nan = float("nan")
+    return {
+        "demo": demo,
+        "ticks": int(len(res.ego_states)),
+        "plans_compared": len(devs),
+        "ok_mismatches": ok_flips,
+        "max_cycle_dev": float(np.max(devs)) if devs else nan,
+        "mean_cycle_dev": float(np.mean(devs)) if devs else nan,
+        "max_ctrl_dev": float(np.max(ctrl_devs)) if ctrl_devs else nan,
+        "fail_cycle": res.fail_cycle,
+        "episode_wall_s": t_epi,
+        "mirror_wall_s": wall,
+        "records": records,
+    }
+
+
 class _TandemPlanner:
     """Delegates the MINDPlanner surface to BOTH the production planner and
     the host mirror, applying the production control while recording each

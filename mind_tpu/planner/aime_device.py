@@ -39,7 +39,14 @@ from mind_tpu.planner.scenario_tree import (
 
 
 class DeviceObsBuffer(NamedTuple):
-    """Rolling 10 Hz observation window, device-resident [A, 50]."""
+    """Rolling 10 Hz observation window, device-resident [A, 50].
+
+    Stored in float64 by default: the observation stream and everything
+    downstream of it up to the network inputs and the iLQR solve (scene
+    normalization, covariance accumulation, prune/merge/branch decisions)
+    runs at the float64 reference mirror's precision, so the production
+    path takes the same discrete decisions (PARITY.md). The network
+    consumes a float32 cast; the FLOP-heavy programs are unaffected."""
 
     pos: jnp.ndarray       # [A, 50, 2]
     ang: jnp.ndarray       # [A, 50]
@@ -47,11 +54,12 @@ class DeviceObsBuffer(NamedTuple):
     observed: jnp.ndarray  # [A, 50] bool
 
     @classmethod
-    def create(cls, max_actors: int) -> "DeviceObsBuffer":
+    def create(cls, max_actors: int,
+               dtype=jnp.float64) -> "DeviceObsBuffer":
         return cls(
-            pos=jnp.zeros((max_actors, OBS_LEN, 2), jnp.float32),
-            ang=jnp.zeros((max_actors, OBS_LEN), jnp.float32),
-            vel=jnp.zeros((max_actors, OBS_LEN, 2), jnp.float32),
+            pos=jnp.zeros((max_actors, OBS_LEN, 2), dtype),
+            ang=jnp.zeros((max_actors, OBS_LEN), dtype),
+            vel=jnp.zeros((max_actors, OBS_LEN, 2), dtype),
             observed=jnp.zeros((max_actors, OBS_LEN), bool),
         )
 
@@ -121,21 +129,21 @@ class AimeMeta(NamedTuple):
     n_nodes: jnp.ndarray    # [] i32
 
 
-def _init_tree_state(cfg, max_actors: int) -> DeviceTreeState:
+def _init_tree_state(cfg, max_actors: int, dtype) -> DeviceTreeState:
     MN = cfg.scen_tree.max_tree_nodes
     A = max_actors
     slots = NodeSlots(
-        pos=jnp.zeros((MN, A, SEQ_LEN, 2), jnp.float32),
-        ang=jnp.zeros((MN, A, SEQ_LEN), jnp.float32),
-        vel=jnp.zeros((MN, A, SEQ_LEN, 2), jnp.float32),
-        cov=jnp.full((MN, A, SEQ_LEN), 1e-5, jnp.float32),
-        tgt_pts=jnp.zeros((MN, 11, 2), jnp.float32),
+        pos=jnp.zeros((MN, A, SEQ_LEN, 2), dtype),
+        ang=jnp.zeros((MN, A, SEQ_LEN), dtype),
+        vel=jnp.zeros((MN, A, SEQ_LEN, 2), dtype),
+        cov=jnp.full((MN, A, SEQ_LEN), 1e-5, dtype),
+        tgt_pts=jnp.zeros((MN, 11, 2), dtype),
     )
     return DeviceTreeState(
         slots=slots,
         parent=jnp.full((MN,), -1, jnp.int32),
         depth=jnp.zeros((MN,), jnp.int32),
-        prob=jnp.zeros((MN,), jnp.float32).at[0].set(1.0),
+        prob=jnp.zeros((MN,), dtype).at[0].set(1.0),
         start_t=jnp.zeros((MN,), jnp.int32),
         duration=jnp.zeros((MN,), jnp.int32),
         end_flag=jnp.zeros((MN,), bool),
@@ -157,10 +165,11 @@ def aime_grow_tree(params, batched_apply, cfg: PlannerConfig,
     A = actor_mask.shape[0]
     M = cfg.net.num_modes
 
+    dtype = buf.pos.dtype  # f64 decision precision (see DeviceObsBuffer)
     root_pos, root_ang, root_vel, root_obs = nn_fill_window(buf)
-    root_cov = jnp.full((A, OBS_LEN), 1e-5, jnp.float32)
+    root_cov = jnp.full((A, OBS_LEN), 1e-5, dtype)
 
-    state = _init_tree_state(cfg, A)
+    state = _init_tree_state(cfg, A, dtype)
 
     def one_round(state: DeviceTreeState) -> DeviceTreeState:
         # --- branch-set selection (top-B by prob among branch_flag) ---
@@ -199,9 +208,14 @@ def aime_grow_tree(params, batched_apply, cfg: PlannerConfig,
                 lane_static, tgt_static, scen.tar_time_ahead)
         )(win_pos, win_ang, win_vel, win_obs)
 
+        # the network consumes float32 casts of the f64-prepared inputs —
+        # the same rounding the float64 mirror applies before its (shared)
+        # forward (parity/host_planner.py _predict)
+        f32 = jnp.float32
         cls, reg, vel = batched_apply(
-            params, prep.actors, prep.actor_mask, prep.lanes,
-            prep.lane_mask, prep.rpe, prep.tgt_nodes, prep.tgt_rpe)
+            params, prep.actors.astype(f32), prep.actor_mask,
+            prep.lanes.astype(f32), prep.lane_mask, prep.rpe.astype(f32),
+            prep.tgt_nodes.astype(f32), prep.tgt_rpe.astype(f32))
 
         out = jax.vmap(
             lambda c, r, v, inp, wp, wa, wv, wc, pb, ct: _decode_node(
@@ -278,9 +292,9 @@ def aime_grow_tree(params, batched_apply, cfg: PlannerConfig,
     end = end & state.active
 
     # --- renormalized probabilities over end-flagged children, per level ---
-    norm = jnp.zeros((MN,), jnp.float32).at[0].set(1.0)
+    norm = jnp.zeros((MN,), dtype).at[0].set(1.0)
     contrib = jnp.where(end, state.prob, 0.0)
-    totals = jnp.zeros((MN + 1,), jnp.float32).at[safe_par].add(contrib)
+    totals = jnp.zeros((MN + 1,), dtype).at[safe_par].add(contrib)
     for d in range(1, scen.max_depth + 1):
         at_d = state.active & end & (state.depth == d)
         par = jnp.where(at_d, state.parent, 0)

@@ -31,6 +31,7 @@ from __future__ import annotations
 import functools
 from typing import Callable, NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -142,7 +143,8 @@ def _derivatives(xs, us, nodes: NodeCostData, params: CostParams,
     L_x = jnp.where(m[:, None], L_x, 0.0)
     L_u = jnp.where(m[:, None], L_u, 0.0)
     L_xx = jnp.where(m[:, None, None], L_xx, 0.0)
-    L_uu = jnp.where(m[:, None, None], L_uu, jnp.eye(L_uu.shape[-1]))
+    L_uu = jnp.where(m[:, None, None], L_uu,
+                     jnp.eye(L_uu.shape[-1], dtype=L_uu.dtype))
     return F_x, F_u, L, L_x, L_u, L_xx, L_uu
 
 
@@ -160,14 +162,15 @@ def _backward(topo: TreeTopology, st: _SolverState, mu):
     MN = st.us.shape[0]
     n_x = st.xs.shape[1]
     n_u = st.us.shape[1]
-    V_x = jnp.zeros((MN + 1, n_x))
-    V_xx = jnp.zeros((MN + 1, n_x, n_x))
+    dt_ = st.xs.dtype
+    V_x = jnp.zeros((MN + 1, n_x), dt_)
+    V_xx = jnp.zeros((MN + 1, n_x, n_x), dt_)
     # extra dump row: padded level entries (-1) must NOT alias a real slot —
     # duplicate-index scatter order is undefined in XLA, so a clip-to-0 write
     # can clobber node 0's gains (platform-dependent; bit us on CPU)
-    k = jnp.zeros((MN + 1, n_u))
-    K = jnp.zeros((MN + 1, n_u, n_x))
-    eye = jnp.eye(n_x)
+    k = jnp.zeros((MN + 1, n_u), dt_)
+    K = jnp.zeros((MN + 1, n_u, n_x), dt_)
+    eye = jnp.eye(n_x, dtype=dt_)
 
     def level_step(carry, ids):
         V_x, V_xx, k, K, pd_ok = carry
@@ -244,17 +247,19 @@ def ilqr_solve(topo: TreeTopology, x0: jnp.ndarray, us_init: jnp.ndarray,
     derivs = _derivatives(xs, us_init, nodes, params, topo.node_mask, dt, wb)
     F_x, F_u, L, L_x, L_u, L_xx, L_uu = derivs
 
+    dt_ = x0.dtype
     st = _SolverState(
         xs=xs, us=us_init, J_opt=jnp.sum(L),
-        mu=jnp.array(cfg.mu_init), delta=jnp.array(cfg.delta_0),
+        mu=jnp.asarray(cfg.mu_init, dt_), delta=jnp.asarray(cfg.delta_0, dt_),
         accepted=jnp.array(False), converged=jnp.array(False),
-        diverged=jnp.array(False), it=jnp.array(0),
+        diverged=jnp.array(False), it=jnp.int32(0),
         F_x=F_x, F_u=F_u, L=L, L_x=L_x, L_u=L_u, L_xx=L_xx, L_uu=L_uu,
         k=jnp.zeros_like(us_init),
-        K=jnp.zeros((MN, us_init.shape[1], x0.shape[0])),
+        K=jnp.zeros((MN, us_init.shape[1], x0.shape[0]), dt_),
     )
 
-    alphas = 1.1 ** (-jnp.arange(cfg.n_line_search, dtype=jnp.float32) ** 2)
+    alphas = jnp.asarray(
+        1.1 ** (-np.arange(cfg.n_line_search, dtype=np.float64) ** 2), dt_)
 
     def cond(st: _SolverState):
         return (~st.converged) & (~st.diverged) & (st.it < cfg.max_iterations)

@@ -166,7 +166,8 @@ class ObsBuffer:
             present[s] = True
         if self.origin is not None:
             states[:, :2] -= self.origin
-        states = states.astype(np.float32)
+        # float64 end to end: the obs window is the root of the decision
+        # pipeline (see DeviceObsBuffer docstring)
         self.last_present = present
         if self.device_updates:
             self.buf = self._update_fn(self.buf, jnp.asarray(states),
@@ -243,9 +244,12 @@ class MINDPlanner:
         assert n <= L, f"{n} lane segments exceed max_lanes={L}"
         node_feats = np.zeros((L, 10, 16), np.float32)
         node_feats[:n] = feats
-        anchors = np.zeros((L, 2), np.float32)
+        # anchors in float64: they enter the f64 scene prep (and through it
+        # the network-input f32 cast + decision pipeline) at the same
+        # precision the float64 mirror uses
+        anchors = np.zeros((L, 2), np.float64)
         anchors[:n] = graph["lane_ctrs"] - self.origin
-        vecs = np.tile(np.array([1.0, 0.0], np.float32), (L, 1))
+        vecs = np.tile(np.array([1.0, 0.0], np.float64), (L, 1))
         vecs[:n] = graph["lane_vecs"]
         mask = np.zeros(L, bool)
         mask[:n] = True
@@ -263,12 +267,12 @@ class MINDPlanner:
         info_rows = np.concatenate([
             info[0][:, None], info[1], info[2], info[3],
             info[4][:, None], info[5][:, None],
-        ], axis=-1).astype(np.float32)[src]  # [P, 12]
+        ], axis=-1).astype(np.float64)[src]  # [P, 12]
         P = MAX_TGT_PTS
         assert len(pts) <= P, f"target lane too long: {len(pts)}"
-        tp = np.full((P, 2), 1e6, np.float32)
+        tp = np.full((P, 2), 1e6, np.float64)
         tp[:len(pts)] = pts - self.origin
-        ti = np.zeros((P, 12), np.float32)
+        ti = np.zeros((P, 12), np.float64)
         ti[:len(pts)] = info_rows
         tm = np.zeros(P, bool)
         tm[:len(pts)] = True
@@ -276,10 +280,11 @@ class MINDPlanner:
             points=jnp.asarray(tp), info=jnp.asarray(ti),
             mask=jnp.asarray(tm), n_points=jnp.int32(len(pts)))
 
-        # evaluation lane (unresampled target lane, planner.py:200-205)
+        # evaluation lane (unresampled target lane, planner.py:200-205);
+        # float64 — tree selection is a discrete decision (PARITY.md)
         ev = np.asarray(lane, np.float64) - self.origin
         S = MAX_TGT_PTS
-        evp = np.full((S, 2), 1e6, np.float32)
+        evp = np.full((S, 2), 1e6, np.float64)
         evp[:len(ev)] = ev
         evm = np.zeros(S - 1, bool)
         evm[:len(ev) - 1] = True

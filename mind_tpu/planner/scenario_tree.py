@@ -92,7 +92,16 @@ def _decode_node(cls, reg, vel_pred, inputs: SceneInputs,
 
     cls [M], reg [A, M, 60, 5], vel_pred [A, M, 60, 2]; windows [A, 50, ...]
     in the global frame. Returns per-mode candidate hists + flags.
+
+    All arithmetic runs at the WINDOW dtype (float64 in production): the f32
+    network outputs are upcast at entry, so denormalization, covariance
+    accumulation and the prune/merge/branch-time decisions reproduce the
+    float64 mirror's values bit-for-near-bit given equal network outputs.
     """
+    dtype = win_pos.dtype
+    cls = cls.astype(dtype)
+    reg = reg.astype(dtype)
+    vel_pred = vel_pred.astype(dtype)
     M = cls.shape[0]
     A = reg.shape[0]
     orig, rot, theta = inputs.orig, inputs.rot, inputs.theta
@@ -214,9 +223,12 @@ class ScenarioTreeGenerator:
                     lane_static, tgt_static, scen_cfg.tar_time_ahead)
             )(win_pos, win_ang, win_vel, win_obs)
 
+            f32 = jnp.float32
             cls, reg, vel = self.batched_apply(
-                params, prep.actors, prep.actor_mask, prep.lanes,
-                prep.lane_mask, prep.rpe, prep.tgt_nodes, prep.tgt_rpe)
+                params, prep.actors.astype(f32), prep.actor_mask,
+                prep.lanes.astype(f32), prep.lane_mask,
+                prep.rpe.astype(f32), prep.tgt_nodes.astype(f32),
+                prep.tgt_rpe.astype(f32))
             # cls [B, M], reg [B, A, M, 60, 5], vel [B, A, M, 60, 2]
 
             out = jax.vmap(
@@ -259,12 +271,13 @@ class ScenarioTreeGenerator:
         node_meta = {0: {"prob": 1.0, "cur_t": 0, "t_b": 0, "duration": 0}}
         next_slot = 1  # device slot 0 unused (root has no trajectory)
 
+        dtype = win_pos0.dtype
         slots = NodeSlots(
-            pos=jnp.zeros((MN, A, SEQ_LEN, 2), jnp.float32),
-            ang=jnp.zeros((MN, A, SEQ_LEN), jnp.float32),
-            vel=jnp.zeros((MN, A, SEQ_LEN, 2), jnp.float32),
-            cov=jnp.full((MN, A, SEQ_LEN), 1e-5, jnp.float32),
-            tgt_pts=jnp.zeros((MN, 11, 2), jnp.float32),
+            pos=jnp.zeros((MN, A, SEQ_LEN, 2), dtype),
+            ang=jnp.zeros((MN, A, SEQ_LEN), dtype),
+            vel=jnp.zeros((MN, A, SEQ_LEN, 2), dtype),
+            cov=jnp.full((MN, A, SEQ_LEN), 1e-5, dtype),
+            tgt_pts=jnp.zeros((MN, 11, 2), dtype),
         )
 
         # round state: windows for the branch set
@@ -277,7 +290,7 @@ class ScenarioTreeGenerator:
         win_cov = pad_b(win_cov0)
         win_obs = pad_b(win_obs0)
         branch_keys = [0]
-        probs = np.zeros(B, np.float32)
+        probs = np.zeros(B, np.float64)
         probs[0] = 1.0
         cur_ts = np.zeros(B, np.int32)
 
@@ -352,7 +365,7 @@ class ScenarioTreeGenerator:
 
             ids = np.zeros(B, np.int32)
             durs = np.zeros(B, np.int32)
-            probs = np.zeros(B, np.float32)
+            probs = np.zeros(B, np.float64)
             cur_ts = np.zeros(B, np.int32)
             branch_keys = []
             for i, (key, end_t, duration) in enumerate(new_branch):

@@ -157,11 +157,13 @@ def gather_cost_nodes(slots, norm_prob, cost_slot, cost_step, node_mask,
     OBS = 50
     t = OBS + cost_step                        # [MN]
     # advanced indices (cost_slot, t) around the agent slice put the gathered
-    # [MN] axis first: pos_t [MN, A, 2], cov_t [MN, A]
-    pos_t = slots.pos[cost_slot, :, t]
-    cov_t = slots.cov[cost_slot, :, t]
+    # [MN] axis first: pos_t [MN, A, 2], cov_t [MN, A]. Slots are stored in
+    # f64 (decision precision); the iLQR solve runs f32 — cast here.
+    f32 = jnp.float32
+    pos_t = slots.pos[cost_slot, :, t].astype(f32)
+    cov_t = slots.cov[cost_slot, :, t].astype(f32)
     return NodeCostData(
-        prob=norm_prob[cost_slot] * node_mask,
+        prob=(norm_prob[cost_slot] * node_mask).astype(f32),
         ego_mean=pos_t[:, 0],
         ego_cov=cov_t[:, 0],
         exo_mean=pos_t[:, 1:],
@@ -231,9 +233,19 @@ def evaluate_traj_tree(xs, us, node_mask, n_nodes, x0,
                        target_vel, cfg_weights):
     """Best-tree selection cost (reference planner.py:180-198): mean over
     tree nodes (including the x0 root) of comfort + efficiency + target
-    distance terms."""
+    distance terms.
+
+    Evaluated at the EVAL-SEGMENT dtype (float64 in production): argmin over
+    candidate trees is a discrete decision, and near-tied trees can carry
+    very different first controls — f32 cost noise would flip the selection
+    against the float64 mirror (PARITY.md)."""
     from mind_tpu.common.geometry import jx_point_segments_dist
 
+    dtype = eval_seg_start.dtype
+    xs = xs.astype(dtype)
+    us = us.astype(dtype)
+    x0 = x0.astype(dtype)
+    target_vel = jnp.asarray(target_vel, dtype)
     comfort_acc_w, comfort_str_w, eff_w, tgt_w = cfg_weights
 
     def node_cost(x, u, m):
@@ -244,5 +256,5 @@ def evaluate_traj_tree(xs, us, node_mask, n_nodes, x0,
         return jnp.where(m, c, 0.0)
 
     costs = jax.vmap(node_cost)(xs, us, node_mask)
-    root_cost = node_cost(x0, jnp.zeros(2, xs.dtype), True)
+    root_cost = node_cost(x0, jnp.zeros(2, dtype), True)
     return (jnp.sum(costs) + root_cost) / (n_nodes + 1)

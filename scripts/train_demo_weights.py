@@ -68,7 +68,8 @@ def main():
         P = 256
         tp = np.full((P, 2), 1e6, np.float32)
         tp[:len(lane)] = lane
-        tgt_static = TargetLaneStatic(jnp.asarray(tp), jnp.zeros((P, 12)),
+        tgt_static = TargetLaneStatic(jnp.asarray(tp),
+                                      jnp.zeros((P, 12), jnp.float32),
                                       jnp.asarray(np.arange(P) < len(lane)),
                                       jnp.int32(len(lane)))
         types = np.stack(

@@ -27,6 +27,7 @@ def make_sim(steps):
     return sim
 
 
+@pytest.mark.slow
 def test_episode_inputs_match_host_obs_buffer():
     """The precomputed slot assignment / presence schedule must equal what
     the host ObsBuffer builds from the live observation stream."""

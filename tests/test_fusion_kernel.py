@@ -22,8 +22,8 @@ def test_kernel_matches_reference(n, update_edge):
     key = jax.random.PRNGKey(0)
     w = random_weights(key, D, E)
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
-    node = jax.random.normal(ks[0], (n, D))
-    edge = jax.random.normal(ks[1], (n, n, E)) * 0.5
+    node = jax.random.normal(ks[0], (n, D), jnp.float32)
+    edge = jax.random.normal(ks[1], (n, n, E), jnp.float32) * 0.5
     mask = jnp.arange(n) < (n - 5)
 
     out_ref, edge_ref_new = fused_edge_attention_ref(node, edge, mask, w, H,
@@ -41,8 +41,8 @@ def test_kernel_padding_independence():
     """Outputs for valid tokens don't depend on padding to the tile size."""
     w = random_weights(jax.random.PRNGKey(2), D, E)
     n = 20
-    node = jax.random.normal(jax.random.PRNGKey(3), (n, D))
-    edge = jax.random.normal(jax.random.PRNGKey(4), (n, n, E)) * 0.3
+    node = jax.random.normal(jax.random.PRNGKey(3), (n, D), jnp.float32)
+    edge = jax.random.normal(jax.random.PRNGKey(4), (n, n, E), jnp.float32) * 0.3
     mask = jnp.ones(n, bool)
     out8, _ = fused_edge_attention(node, edge, mask, w, H, tj=8, interpret=True)
     out16, _ = fused_edge_attention(node, edge, mask, w, H, tj=16, interpret=True)

@@ -25,13 +25,13 @@ def _rand_inputs(cfg, key, batch=2, n_actors=A, n_lanes=L):
     To = cfg.obs_len - 2
     N = n_actors + n_lanes
     return dict(
-        actors=jax.random.normal(ks[0], (batch, n_actors, To, cfg.in_actor)),
+        actors=jax.random.normal(ks[0], (batch, n_actors, To, cfg.in_actor), jnp.float32),
         actor_mask=jnp.ones((batch, n_actors), bool),
-        lanes=jax.random.normal(ks[1], (batch, n_lanes, 10, cfg.in_lane)),
+        lanes=jax.random.normal(ks[1], (batch, n_lanes, 10, cfg.in_lane), jnp.float32),
         lane_mask=jnp.ones((batch, n_lanes), bool),
-        rpe=jax.random.normal(ks[2], (batch, N, N, cfg.d_rpe_in)),
-        tgt_nodes=jax.random.normal(ks[3], (batch, 10, cfg.in_lane)),
-        tgt_rpe=jax.random.normal(ks[4], (batch, 20)),
+        rpe=jax.random.normal(ks[2], (batch, N, N, cfg.d_rpe_in), jnp.float32),
+        tgt_nodes=jax.random.normal(ks[3], (batch, 10, cfg.in_lane), jnp.float32),
+        tgt_rpe=jax.random.normal(ks[4], (batch, 20), jnp.float32),
     )
 
 

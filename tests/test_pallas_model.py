@@ -17,13 +17,13 @@ def _inputs(cfg, batch=1):
     To = cfg.obs_len - 2
     N = A + L
     return (
-        jax.random.normal(ks[0], (batch, A, To, cfg.in_actor)),
+        jax.random.normal(ks[0], (batch, A, To, cfg.in_actor), jnp.float32),
         jnp.ones((batch, A), bool),
-        jax.random.normal(ks[1], (batch, L, 10, cfg.in_lane)),
+        jax.random.normal(ks[1], (batch, L, 10, cfg.in_lane), jnp.float32),
         jnp.ones((batch, L), bool),
-        jax.random.normal(ks[2], (batch, N, N, cfg.d_rpe_in)),
-        jax.random.normal(ks[3], (batch, 10, cfg.in_lane)),
-        jax.random.normal(ks[4], (batch, 20)),
+        jax.random.normal(ks[2], (batch, N, N, cfg.d_rpe_in), jnp.float32),
+        jax.random.normal(ks[3], (batch, 10, cfg.in_lane), jnp.float32),
+        jax.random.normal(ks[4], (batch, 20), jnp.float32),
     )
 
 

@@ -33,6 +33,7 @@ def test_parallel_tree_solve_sharded():
     assert len(us.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_parallel_tree_solve_1024_branching():
     """BASELINE.json scale config: 1024 parallel contingency solves with
     per-tree branching topologies sharded over the mesh — exercises the

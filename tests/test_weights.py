@@ -134,6 +134,7 @@ def _run_flax(ncfg, state_dict, scene):
     return params, (np.asarray(cls[0]), np.asarray(reg[0]), np.asarray(vel[0]))
 
 
+@pytest.mark.slow
 def test_forward_parity_with_reference_torch(ref_network_module):
     """Same weights, same inputs => same cls/reg/vel (shared-weights network
     parity at f32)."""
@@ -148,6 +149,7 @@ def test_forward_parity_with_reference_torch(ref_network_module):
     np.testing.assert_allclose(j_vel, t_vel, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_forward_parity_param_out_monomial(ref_network_module):
     """The monomial decoder head. (The reference's third head,
     param_out='none', cannot run at all — its forward reads self.N_ORDER
