@@ -123,6 +123,10 @@ class TrajTreeConfig:
     # same warm trajectory to ~1e-3 at a fraction of the cost)
     warm_max_iterations: int = 40
     rel_tol: float = 1e-5
+    # iLQR solve precision: "float32" (fast path) or "float64" (strict
+    # parity — matches the f64 reference mirror's solver, removing
+    # tree-selection flips at near-tied candidate trees)
+    solve_dtype: str = "float32"
     n_line_search: int = 10
     max_reg: float = 1e10
     # fixed-width limits for the batched tree solve (new)

@@ -17,7 +17,13 @@ DATA_ROOT = "/root/reference/data"
 
 
 def run_parity_demo(demo: str, max_steps: int,
-                    data_root: str = DATA_ROOT) -> dict:
+                    data_root: str = DATA_ROOT,
+                    solve_dtype: Optional[str] = None) -> dict:
+    """Free-run lockstep parity on the PRODUCTION planner configuration
+    (bf16 network shared by both sides, production rel_tol). `solve_dtype`
+    optionally overrides the iLQR precision — "float64" is the strict mode
+    whose device solver matches the f64 mirror's to ~1e-12, removing the
+    dominant free-run seed."""
     from mind_tpu.config import SimConfig, planner_config_for_demo
     from mind_tpu.sim.simulator import Simulator
     from mind_tpu.sim.agents import MINDAgent
@@ -27,10 +33,8 @@ def run_parity_demo(demo: str, max_steps: int,
         cfg = SimConfig.from_json(f"configs/{demo}.json", data_root=data_root)
         cfg.render = False
         pcfg = planner_config_for_demo(demo)
-        pcfg.net.compute_dtype = "float32"  # strict parity: no bf16
-        # match the reference's solver tolerance exactly (solver.py:48);
-        # the production default 1e-5 trades ~5e-4 control slack for speed
-        pcfg.traj_tree.rel_tol = 1e-6
+        if solve_dtype is not None:
+            pcfg.traj_tree.solve_dtype = solve_dtype
         sim = Simulator(cfg, planner_cfg=pcfg, max_steps=max_steps)
         sim.init_sim()
         return sim
@@ -87,8 +91,8 @@ def run_parity_demo(demo: str, max_steps: int,
 
 def run_parity_episode_playback(demo: str, max_steps: int,
                                 data_root: str = DATA_ROOT,
-                                enable_timestep: Optional[float] = None
-                                ) -> dict:
+                                enable_timestep: Optional[float] = None,
+                                solve_dtype: Optional[str] = None) -> dict:
     """Per-cycle resynced parity for the BENCHED path: the fused single-
     program episode (sim/episode.py — the configuration that produces the
     headline steps/s) vs the float64 reference-control-flow mirror.
@@ -119,6 +123,8 @@ def run_parity_episode_playback(demo: str, max_steps: int,
     if enable_timestep is not None:  # short-horizon harness testing
         cfg.cl_agents[0].enable_timestep = enable_timestep
     pcfg = planner_config_for_demo(demo)
+    if solve_dtype is not None:
+        pcfg.traj_tree.solve_dtype = solve_dtype
     sim = Simulator(cfg, max_steps=max_steps, planner_cfg=pcfg)
     sim.init_sim()
     ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
@@ -260,7 +266,8 @@ class _TandemPlanner:
 
 
 def run_parity_demo_resync(demo: str, max_steps: int,
-                           data_root: str = DATA_ROOT) -> dict:
+                           data_root: str = DATA_ROOT,
+                           solve_dtype: Optional[str] = None) -> dict:
     """Per-cycle resynced parity over the full horizon: ONE closed-loop sim
     driven by the production planner, with the float64 mirror planning in
     tandem from identical inputs every cycle. Reports the worst per-cycle
@@ -276,19 +283,17 @@ def run_parity_demo_resync(demo: str, max_steps: int,
     cfg = SimConfig.from_json(f"configs/{demo}.json", data_root=data_root)
     cfg.render = False
     pcfg = planner_config_for_demo(demo)
-    pcfg.net.compute_dtype = "float32"
-    pcfg.traj_tree.rel_tol = 1e-6
+    if solve_dtype is not None:
+        pcfg.traj_tree.solve_dtype = solve_dtype
     sim = Simulator(cfg, planner_cfg=pcfg, max_steps=max_steps)
     sim.init_sim()
 
     ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
     dev_pl = ego.planner
-    # keep the staged (export) production path: its standalone network
-    # program is the same compilation the mirror shares, so the comparison
-    # certifies implementation fidelity rather than cross-compilation ULP
-    # reordering (the fully-fused single-program path recompiles the network
-    # inside the plan program; its per-cycle deviation is bounded at 3.3e-3
-    # by the same harness and documented in PARITY_TRACES.md)
+    # the staged (export) path dispatches the same fused_plan_core
+    # computation as the benched fused/episode modes; the fully-fused paths
+    # are additionally certified by run_parity_episode_playback (measured
+    # bitwise-equal network outputs across compilation contexts)
     dev_pl.export_trees = True
     host_pl = HostRefPlanner(
         dev_pl.cfg, ego._smp, ego.lcl_smp,

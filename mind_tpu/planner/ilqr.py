@@ -55,6 +55,12 @@ class ILQRConfig(NamedTuple):
     mu_min: float = 1e-6
     mu_max: float = 1e10
     delta_0: float = 2.0
+    # solve precision: "float32" (default, MXU/VPU native) or "float64"
+    # (strict-parity mode — matches the f64 reference mirror's solver to
+    # ~1e-12, eliminating tree-selection flips at near-ties; ~f64-emulation
+    # cost on TPU). The solver itself is dtype-polymorphic; this knob is
+    # applied at two_phase_solve entry.
+    dtype: str = "float32"
 
 
 class _SolverState(NamedTuple):

@@ -78,10 +78,11 @@ def fused_plan_core(params, buf, types, amask, x0, warm_params, full_params,
         state.end_flag, meta.tree_id,
         MAX_TREES, cfg.traj_tree.max_cost_nodes,
         cfg.traj_tree.max_depth_levels, cfg.traj_tree.max_width_hint)
+    sd = jnp.dtype(ilqr_cfg.dtype)
 
     def one(topo, cs, st):
         nodes = gather_cost_nodes(state.slots, meta.norm_prob, cs, st,
-                                  topo.node_mask, amask)
+                                  topo.node_mask, amask, dtype=sd)
         xs, us, info = two_phase_solve(
             topo, x0, nodes, warm_params, full_params, ilqr_cfg,
             warm_ilqr_cfg)
@@ -94,7 +95,7 @@ def fused_plan_core(params, buf, types, amask, x0, warm_params, full_params,
                                         dct.cost_step)
     cost_b = jnp.where(dct.tree_mask, cost_b, jnp.inf)
     best = jnp.argmin(cost_b)
-    ctrl = ctrl_b[best]
+    ctrl = ctrl_b[best].astype(jnp.float32)  # f64 under solve_dtype=float64
     ok = (dct.n_trees > 0).astype(jnp.float32)
     return jnp.concatenate([
         ctrl, jnp.array([ok], jnp.float32),
@@ -318,6 +319,7 @@ class MINDPlanner:
             rel_tol=cfg.traj_tree.rel_tol,
             n_line_search=cfg.traj_tree.n_line_search,
             mu_max=cfg.traj_tree.max_reg,
+            dtype=cfg.traj_tree.solve_dtype,
         )
         self.warm_ilqr_cfg = self.ilqr_cfg._replace(
             max_iterations=cfg.traj_tree.warm_max_iterations)
@@ -345,9 +347,11 @@ class MINDPlanner:
 
         def solve_fn(slots, norm_prob, amask, topo_b, cost_slot_b, cost_step_b,
                      tree_mask, x0, warm_params, full_params, target_vel):
+            sd = jnp.dtype(self.ilqr_cfg.dtype)
+
             def one(topo, cs, st):
                 nodes = gather_cost_nodes(slots, norm_prob, cs, st,
-                                          topo.node_mask, amask)
+                                          topo.node_mask, amask, dtype=sd)
                 xs, us, info = two_phase_solve(
                     topo, x0, nodes, warm_params, full_params,
                     self.ilqr_cfg, self.warm_ilqr_cfg)
@@ -361,7 +365,7 @@ class MINDPlanner:
             cost_b = jnp.where(tree_mask, cost_b, jnp.inf)
             best = jnp.argmin(cost_b)
             # control = first cost node's [accel, steer] (planner.py:141-144)
-            ctrl = xs_b[best, 0, 4:6]
+            ctrl = xs_b[best, 0, 4:6].astype(jnp.float32)
             # everything the host needs, in one small pull
             packed = jnp.concatenate([
                 ctrl,
@@ -405,11 +409,12 @@ class MINDPlanner:
         return self._cost_params_cache
 
     def _field_offset(self, state: np.ndarray):
-        """Grid origin from a LOCAL-frame state."""
+        """Grid origin from a LOCAL-frame state (solve precision)."""
         ph = self.cfg.traj_tree.full
         n, _ = ph.smooth_grid_size
         half = 0.5 * (n - 1) * ph.smooth_grid_res
-        return jnp.asarray([state[0] - half, state[1] - half], jnp.float32)
+        return jnp.asarray([state[0] - half, state[1] - half],
+                           jnp.dtype(self.cfg.traj_tree.solve_dtype))
 
     def local_state(self) -> np.ndarray:
         """Current ego state in the local planning frame (float64 host)."""
@@ -479,7 +484,8 @@ class MINDPlanner:
             self.metrics.observe("scen_nodes", n_nodes)
 
         s_loc = self.local_state()
-        x0 = jnp.asarray([*s_loc, *self.ctrl], jnp.float32)
+        x0 = jnp.asarray([*s_loc, *self.ctrl],
+                         jnp.dtype(self.cfg.traj_tree.solve_dtype))
         tv = float(self.lcl_smp.target_velocity)
         warm_p, full_p = self._cost_params()
         # only the grid origin depends on the current state
@@ -517,7 +523,8 @@ class MINDPlanner:
         """Single-dispatch plan: one program, one ~24-byte sync."""
         with self.metrics.timer.phase("plan_fused"):
             s_loc = self.local_state()
-            x0 = jnp.asarray([*s_loc, *self.ctrl], jnp.float32)
+            x0 = jnp.asarray([*s_loc, *self.ctrl],
+                             jnp.dtype(self.cfg.traj_tree.solve_dtype))
             tv = float(self.lcl_smp.target_velocity)
             warm_p, full_p = self._cost_params()
             offset = self._field_offset(s_loc)

@@ -149,21 +149,21 @@ def build_cost_indices(parent: np.ndarray, duration: np.ndarray,
 
 
 def gather_cost_nodes(slots, norm_prob, cost_slot, cost_step, node_mask,
-                      actor_mask) -> NodeCostData:
+                      actor_mask, dtype=jnp.float32) -> NodeCostData:
     """Device-side: gather per-cost-node data from the tree slots.
 
     Scenario-node trajectory slice [OBS_LEN : OBS_LEN+duration] step i maps
-    to hist index OBS_LEN + i (scenario_tree export semantics)."""
+    to hist index OBS_LEN + i (scenario_tree export semantics). Slots are
+    stored in f64 (decision precision); `dtype` is the iLQR solve precision
+    (ILQRConfig.dtype)."""
     OBS = 50
     t = OBS + cost_step                        # [MN]
     # advanced indices (cost_slot, t) around the agent slice put the gathered
-    # [MN] axis first: pos_t [MN, A, 2], cov_t [MN, A]. Slots are stored in
-    # f64 (decision precision); the iLQR solve runs f32 — cast here.
-    f32 = jnp.float32
-    pos_t = slots.pos[cost_slot, :, t].astype(f32)
-    cov_t = slots.cov[cost_slot, :, t].astype(f32)
+    # [MN] axis first: pos_t [MN, A, 2], cov_t [MN, A]
+    pos_t = slots.pos[cost_slot, :, t].astype(dtype)
+    cov_t = slots.cov[cost_slot, :, t].astype(dtype)
     return NodeCostData(
-        prob=(norm_prob[cost_slot] * node_mask).astype(f32),
+        prob=(norm_prob[cost_slot] * node_mask).astype(dtype),
         ego_mean=pos_t[:, 0],
         ego_cov=cov_t[:, 0],
         exo_mean=pos_t[:, 1:],
@@ -181,11 +181,15 @@ def make_cost_params(phase: OptPhaseConfig, x0: np.ndarray,
     res = phase.smooth_grid_res
     # gen_dist_field offset (reference ilqr/utils.py:5-11)
     field_size = (n - 1) * res
+    # stored at float64 (the mirror's precision); two_phase_solve casts all
+    # float leaves to the solve dtype, so the f32 path sees the same values
+    # it always did while the f64 path sees the exact reference weights
+    f64 = jnp.float64
     offset = np.array([x0[0] - 0.5 * field_size, x0[1] - 0.5 * field_size],
-                      np.float32)
+                      np.float64)
 
     P = max_tgt_pts
-    pts = np.full((P, 2), 1e6, np.float32)
+    pts = np.full((P, 2), 1e6, np.float64)
     m = min(len(tgt_lane), P)
     pts[:m] = tgt_lane[:m]
     seg_mask = np.zeros(P - 1, bool)
@@ -193,23 +197,23 @@ def make_cost_params(phase: OptPhaseConfig, x0: np.ndarray,
 
     return CostParams(
         field_offset=jnp.asarray(offset),
-        res=jnp.float32(res),
+        res=jnp.asarray(res, f64),
         grid_n=n,
         tgt_seg_start=jnp.asarray(pts[:-1]),
         tgt_seg_end=jnp.asarray(pts[1:]),
         tgt_seg_mask=jnp.asarray(seg_mask),
-        w_tgt=jnp.float32(phase.w_tgt),
-        w_ego=jnp.float32(0.0 if warm else phase.w_ego),
-        w_ego_cov_offset=jnp.float32(phase.w_ego_cov_offset),
-        w_exo=jnp.float32(0.0 if warm else phase.w_exo),
-        w_exo_cov_offset=jnp.float32(phase.w_exo_cov_offset),
-        w_exo_cost_offset=jnp.float32(phase.w_exo_cost_offset),
-        w_des_state=jnp.asarray(np.diag(phase.w_des_state()), jnp.float32),
-        des_state=jnp.asarray([0, 0, target_vel, 0, 0, 0], jnp.float32),
-        w_state_con=jnp.asarray(np.diag(phase.w_state_con()), jnp.float32),
-        state_lb=jnp.asarray(phase.state_lower_bound, jnp.float32),
-        state_ub=jnp.asarray(phase.state_upper_bound, jnp.float32),
-        w_ctrl=jnp.asarray([phase.w_ctrl, phase.w_ctrl], jnp.float32),
+        w_tgt=jnp.asarray(phase.w_tgt, f64),
+        w_ego=jnp.asarray(0.0 if warm else phase.w_ego, f64),
+        w_ego_cov_offset=jnp.asarray(phase.w_ego_cov_offset, f64),
+        w_exo=jnp.asarray(0.0 if warm else phase.w_exo, f64),
+        w_exo_cov_offset=jnp.asarray(phase.w_exo_cov_offset, f64),
+        w_exo_cost_offset=jnp.asarray(phase.w_exo_cost_offset, f64),
+        w_des_state=jnp.asarray(np.diag(phase.w_des_state()), f64),
+        des_state=jnp.asarray([0, 0, target_vel, 0, 0, 0], f64),
+        w_state_con=jnp.asarray(np.diag(phase.w_state_con()), f64),
+        state_lb=jnp.asarray(phase.state_lower_bound, f64),
+        state_ub=jnp.asarray(phase.state_upper_bound, f64),
+        w_ctrl=jnp.asarray([phase.w_ctrl, phase.w_ctrl], f64),
     )
 
 
@@ -218,9 +222,23 @@ def two_phase_solve(topo: TreeTopology, x0, nodes: NodeCostData,
                     ilqr_cfg: ILQRConfig, warm_cfg: ILQRConfig = None):
     """Warm-start solve (target-lane cost only) then full solve from the warm
     controls (reference planner.py:174-178). `warm_cfg` optionally gives the
-    warm phase its own (smaller) iteration budget."""
+    warm phase its own (smaller) iteration budget.
+
+    The solve runs at `ilqr_cfg.dtype` — float leaves of x0/nodes/params are
+    cast here (the solver is dtype-polymorphic); results return in the solve
+    dtype (callers cast controls to f32 for packing)."""
+    sd = jnp.dtype(ilqr_cfg.dtype)
+
+    def cast(t):
+        return jax.tree.map(
+            lambda x: x.astype(sd)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, t)
+
+    x0 = jnp.asarray(x0).astype(sd)
+    nodes, warm_params, full_params = map(cast,
+                                          (nodes, warm_params, full_params))
     MN = topo.parent.shape[0]
-    us0 = jnp.zeros((MN, 2), x0.dtype)
+    us0 = jnp.zeros((MN, 2), sd)
     _, us_warm, info_w = ilqr_solve(topo, x0, us0, nodes, warm_params,
                                     warm_cfg or ilqr_cfg)
     xs, us, info = ilqr_solve(topo, x0, us_warm, nodes, full_params, ilqr_cfg)

@@ -182,7 +182,8 @@ def build_episode_statics(planner) -> EpisodeStatics:
 
 
 def _episode_core(params, inp: EpisodeInputs, st: EpisodeStatics,
-                  enable_tick, *, core, half, wb, max_spd, max_str, dt):
+                  enable_tick, *, core, half, wb, max_spd, max_str, dt,
+                  solve_dtype):
     """The whole closed loop as one pure scan over plan cycles.
 
     `enable_tick` is a SEPARATE (never-batched) scalar: it is the only input
@@ -211,8 +212,8 @@ def _episode_core(params, inp: EpisodeInputs, st: EpisodeStatics,
 
         ctrl_in = jnp.where(t0 <= enable_tick,
                             jnp.zeros_like(ctrl), ctrl)
-        x0 = jnp.concatenate([ego_obs, ctrl_in]).astype(jnp.float32)
-        offset = jnp.asarray([x0[0] - half, x0[1] - half], jnp.float32)
+        x0 = jnp.concatenate([ego_obs, ctrl_in]).astype(solve_dtype)
+        offset = jnp.asarray([x0[0] - half, x0[1] - half], solve_dtype)
         wp = st.warm_params._replace(field_offset=offset)
         fp = st.full_params._replace(field_offset=offset)
 
@@ -293,7 +294,7 @@ def _make_core(planner, veh_param, dt: float, batched_apply=None):
     return functools.partial(
         _episode_core, core=core, half=half,
         wb=veh_param.wb, max_spd=veh_param.max_spd, max_str=veh_param.max_str,
-        dt=dt)
+        dt=dt, solve_dtype=jnp.dtype(planner.ilqr_cfg.dtype))
 
 
 def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
