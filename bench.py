@@ -27,6 +27,7 @@ second call (the persistent compile cache makes first calls cheap too).
 
 import json
 import os
+import sys
 import time
 
 
@@ -39,6 +40,26 @@ def _timed(fn, *args):
     t0 = time.perf_counter()
     out = fn(*args)
     return out, time.perf_counter() - t0
+
+
+def _progress(name, payload):
+    """Per-section progress on stderr (stdout carries ONE final JSON line);
+    a crash mid-bench then still leaves every finished section on record."""
+    print(f"[bench] {name}: {json.dumps(payload)}", file=sys.stderr,
+          flush=True)
+
+
+def _section(name, fn):
+    """Non-headline sections must not take the whole bench down (e.g. a
+    transient TPU-worker crash): record the error and keep going."""
+    try:
+        out = fn()
+        _progress(name, out)
+        return out
+    except Exception as e:  # noqa: BLE001
+        err = {"error": f"{type(e).__name__}: {e}"[:300]}
+        _progress(name, err)
+        return err
 
 
 def bench_network(pl):
@@ -237,67 +258,85 @@ def main():
             "wall_s": round(wall, 2),
             "plan_calls": res.plan_calls,
         }
+        _progress(f"episode/{demo}", per_demo[demo])
 
     # --- 4-demo batched episode: one vmapped program, one sync ---
-    results, _ = _timed(run_episodes_batched, sims)
-    results, wall_b = _timed(run_episodes_batched, sims)
-    total = sum(len(r.ego_states) for r in results)
-    batched = {
-        "scenarios": len(sims),
-        "agg_steps_per_s": round(total / wall_b, 2),
-        "vs_baseline": round(total / wall_b / BASELINE_STEPS_PER_SEC, 2),
-        "wall_s": round(wall_b, 2),
-        "fail_cycles": [r.fail_cycle for r in results],
-    }
+    def bench_batched():
+        results, _ = _timed(run_episodes_batched, sims)
+        results, wall_b = _timed(run_episodes_batched, sims)
+        total = sum(len(r.ego_states) for r in results)
+        return {
+            "scenarios": len(sims),
+            "agg_steps_per_s": round(total / wall_b, 2),
+            "vs_baseline": round(total / wall_b / BASELINE_STEPS_PER_SEC, 2),
+            "wall_s": round(wall_b, 2),
+            "fail_cycles": [r.fail_cycle for r in results],
+        }
+
+    batched = _section("batched_episode", bench_batched)
 
     # --- 64-way Monte-Carlo episode batch on demo_1 ---
-    mc, _ = _timed(run_episode_monte_carlo, sims[0], 64)
-    mc, wall_mc = _timed(run_episode_monte_carlo, sims[0], 64)
-    mc_total = sum(len(r.ego_states) for r in mc)
-    monte_carlo = {
-        "copies": 64,
-        "eff_steps_per_s": round(mc_total / wall_mc, 2),
-        "vs_baseline": round(mc_total / wall_mc / BASELINE_STEPS_PER_SEC, 2),
-        "wall_s": round(wall_mc, 2),
-        "survived": sum(1 for r in mc if r.fail_cycle < 0),
-    }
+    def bench_mc():
+        mc, _ = _timed(run_episode_monte_carlo, sims[0], 64)
+        mc, wall_mc = _timed(run_episode_monte_carlo, sims[0], 64)
+        mc_total = sum(len(r.ego_states) for r in mc)
+        return {
+            "copies": 64,
+            "eff_steps_per_s": round(mc_total / wall_mc, 2),
+            "vs_baseline": round(mc_total / wall_mc
+                                 / BASELINE_STEPS_PER_SEC, 2),
+            "wall_s": round(wall_mc, 2),
+            "survived": sum(1 for r in mc if r.fail_cycle < 0),
+        }
+
+    monte_carlo = _section("monte_carlo_episode", bench_mc)
 
     # --- host-loop mode on demo_1 (round-1/2 comparable) ---
     sim = sims[0]
     av = next(a for a in sim.agents if a.id == "AV")
-    av.planner.export_trees = False
-    snap = "/tmp/mind_tpu_bench_t0.npz"
-    save_sim_state(sim, snap)
-    av.set_enable_timestep(0.0)
-    sim.sim_horizon = 12
-    sim.run_sim()
-    load_sim_state(sim, snap)
-    av.set_enable_timestep(4.0)
-    av.is_enable = False
-    av.last_pl_tri = None
-    av.planner.obs_buffer = ObsBuffer(av.planner.cfg.max_actors,
-                                      origin=av.planner.origin)
-    av.planner.metrics.timer.reset()
-    sim.sim_horizon = sim.config.sim_horizon
-    t0 = time.perf_counter()
-    metrics = sim.run_sim()
-    wall = time.perf_counter() - t0
-    host_loop = {
-        "steps_per_s": round(metrics["ticks"] / wall, 2),
-        "vs_baseline": round(metrics["ticks"] / wall
-                             / BASELINE_STEPS_PER_SEC, 2),
-        "wall_s": round(wall, 2),
-        "plan_calls": metrics["plan_calls"],
-        "phase_mean_ms": {
-            k: v["mean_ms"]
-            for k, v in av.planner.metrics.timer.summary().items()},
-    }
+
+    def bench_host_loop():
+        av.planner.export_trees = False
+        snap = "/tmp/mind_tpu_bench_t0.npz"
+        save_sim_state(sim, snap)
+        av.set_enable_timestep(0.0)
+        sim.sim_horizon = 12
+        sim.run_sim()
+        load_sim_state(sim, snap)
+        av.set_enable_timestep(4.0)
+        av.is_enable = False
+        av.last_pl_tri = None
+        av.planner.obs_buffer = ObsBuffer(av.planner.cfg.max_actors,
+                                          origin=av.planner.origin)
+        av.planner.metrics.timer.reset()
+        sim.sim_horizon = sim.config.sim_horizon
+        t0 = time.perf_counter()
+        metrics = sim.run_sim()
+        wall = time.perf_counter() - t0
+        return {
+            "steps_per_s": round(metrics["ticks"] / wall, 2),
+            "vs_baseline": round(metrics["ticks"] / wall
+                                 / BASELINE_STEPS_PER_SEC, 2),
+            "wall_s": round(wall, 2),
+            "plan_calls": metrics["plan_calls"],
+            "phase_mean_ms": {
+                k: v["mean_ms"]
+                for k, v in av.planner.metrics.timer.summary().items()},
+        }
+
+    host_loop = _section("host_loop_demo_1", bench_host_loop)
 
     # --- per-phase split + MFU (planner state left by the host loop) ---
-    av.planner.export_trees = True
-    phases = bench_phases(sim, av.planner)
-    net = bench_network(av.planner)
-    phases["net_forward_b8_ms"] = net["net_forward_b8_ms"]
+    def bench_split():
+        av.planner.export_trees = True
+        phases = bench_phases(sim, av.planner)
+        net = bench_network(av.planner)
+        phases["net_forward_b8_ms"] = net["net_forward_b8_ms"]
+        phases.update({k: net[k] for k in ("net_flops_per_fwd",
+                                           "net_mfu_bf16_peak")})
+        return phases
+
+    phases = _section("phase_split", bench_split)
 
     worst = min(per_demo.values(), key=lambda d: d["steps_per_s"])
     result = {
@@ -312,8 +351,8 @@ def main():
             "monte_carlo_episode": monte_carlo,
             "host_loop_demo_1": host_loop,
             "phase_mean_ms": phases,
-            "mfu": net["net_mfu_bf16_peak"],
-            "net_flops_per_fwd_b8": net["net_flops_per_fwd"],
+            "mfu": phases.get("net_mfu_bf16_peak"),
+            "net_flops_per_fwd_b8": phases.get("net_flops_per_fwd"),
         },
     }
     print(json.dumps(result))

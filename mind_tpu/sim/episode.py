@@ -454,15 +454,16 @@ def build_mc_inputs(sim, k: int, pos_sigma: float = 0.5,
 def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
                             vel_sigma: float = 0.25, seed: int = 0,
                             horizon: Optional[int] = None,
-                            chunk: int = 8) -> List[EpisodeResult]:
+                            chunk: int = 4) -> List[EpisodeResult]:
     """K Monte-Carlo perturbed closed-loop episodes, vmapped on device.
 
     Lanes run in chunks of `chunk` copies per device program: each plan
     cycle's batched network forward materializes a [lanes*B, N, N, D] fusion
     edge memory (N = actors+lanes+1 = 129..144 tokens), so 64 concurrent
-    lanes would need ~2x5 GB of HBM scratch just for one layer — 8 lanes
-    keep the whole program comfortably resident while already saturating the
-    chip."""
+    lanes would need ~2x5 GB of HBM scratch just for one layer. Measured on
+    the real v5e chip, chunk=8 reproducibly faults the TPU worker (HBM
+    exhaustion inside the fused episode program) while chunk=4 runs the
+    whole 64-copy sweep reliably, so 4 is the default."""
     from mind_tpu.sim.agents import MINDAgent
 
     ego = next(a for a in sim.agents if isinstance(a, MINDAgent))

@@ -39,6 +39,8 @@ def main():
 
     from mind_tpu.config import SimConfig
     from mind_tpu.sim.simulator import Simulator
+    from mind_tpu.sim.state_io import save_sim_state, load_sim_state
+    from mind_tpu.planner.planner import ObsBuffer
 
     rows = []
     for d in args.demos.split(","):
@@ -49,6 +51,26 @@ def main():
         sim.init_sim()
         av = next(a for a in sim.agents if a.id == "AV")
         av.planner.export_trees = False
+
+        # Warm every executable on a short planning burst, then rewind the
+        # sim to t=0 via a state checkpoint so the timed run measures
+        # steady-state throughput, not residual compile/cache-load (the
+        # same discipline as bench.py's host-loop section).
+        snap = f"/tmp/mind_tpu_demos_{demo}_t0.npz"
+        save_sim_state(sim, snap)
+        enable_t = av.enable_timestep
+        av.set_enable_timestep(0.0)
+        sim.sim_horizon = 12
+        sim.run_sim()
+        load_sim_state(sim, snap)
+        av.set_enable_timestep(enable_t)
+        av.is_enable = False
+        av.last_pl_tri = None
+        av.planner.obs_buffer = ObsBuffer(av.planner.cfg.max_actors,
+                                          origin=av.planner.origin)
+        av.planner.metrics.timer.reset()
+        av.planner.metrics.counters.clear()
+        sim.sim_horizon = args.steps
 
         t0 = time.perf_counter()
         m = sim.run_sim()
@@ -81,9 +103,12 @@ def main():
             "# DEMOS — closed-loop acceptance (all four reference demos)",
             "",
             f"Backend: {rows[0]['backend']}; horizon {args.steps} steps"
-            " @ 50 Hz; plans at 10 Hz after the 4 s enable point;"
-            " first-run compile excluded only via the persistent cache"
-            " (numbers include any residual compile).",
+            " @ 50 Hz; plans at 10 Hz after the 4 s enable point."
+            " Every executable is warmed on a short planning burst and the"
+            " sim rewound to t=0 via a state checkpoint before timing, so"
+            " steps/s is steady-state host-loop throughput (compile and"
+            " cache-load excluded). The fused-episode path is faster still"
+            " — see BENCH_r03.json per_demo_episode.",
             "",
             "| demo | ticks | plans | plan failures | steps/s | wall (s) |",
             "|---|---|---|---|---|---|",
