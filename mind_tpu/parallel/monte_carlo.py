@@ -59,15 +59,17 @@ class MonteCarloSim:
         self.planner: MINDPlanner = av.planner
         self.veh = VehicleParam()
 
-        # perturbed ego initial states [K, 4]
-        rng = np.random.default_rng(seed)
+        # perturbed ego initial states [K, 4]: corridor-respecting noise so
+        # copies start inside the target-lane corridor (see
+        # sim.episode.perturb_ego_starts; reference scenario_tree.py:373-379)
+        from mind_tpu.sim.episode import perturb_ego_starts
+
         base = np.array([
             self.bundle.pos[self.av_row, 0, 0], self.bundle.pos[self.av_row, 0, 1],
             self.bundle.vel[self.av_row, 0], self.bundle.ang[self.av_row, 0]])
-        self.egos = np.tile(base, (k, 1))
-        self.egos[:, :2] += rng.normal(0, pos_sigma, (k, 2))
-        self.egos[:, 2] = np.maximum(
-            self.egos[:, 2] + rng.normal(0, vel_sigma, k), 0.0)
+        self.egos = perturb_ego_starts(
+            base, k, pos_sigma, vel_sigma,
+            pc.scen_tree.tar_dist_thres, seed)
         self.ctrls = np.zeros((k, 2))
 
         # slot layout: 0 = ego, then every other track in bundle order

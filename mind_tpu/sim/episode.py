@@ -404,31 +404,22 @@ def run_episodes_batched(sims, horizon: Optional[int] = None
     ]
 
 
-def build_mc_inputs(sim, k: int, pos_sigma: float = 0.5,
-                    vel_sigma: float = 0.25, seed: int = 0,
-                    horizon: Optional[int] = None,
-                    corridor_frac: float = 0.1) -> EpisodeInputs:
-    """K perturbed-ego copies of one scenario's episode schedule.
+def perturb_ego_starts(base, k: int, pos_sigma: float, vel_sigma: float,
+                       tar_dist_thres: float, seed: int,
+                       corridor_frac: float = 0.1) -> np.ndarray:
+    """Corridor-respecting perturbed ego start states [K, 4] (x, y, v, yaw).
 
-    The ego enables immediately (cycle 0) from a perturbed start state.
     Position noise is split into lane-frame components: sigma_long along the
-    target lane, and a lateral sigma capped at `corridor_frac *
-    tar_dist_thres` so the perturbation respects the corridor the reference's
-    target-lane prune enforces (reference scenario_tree.py:373-379) — wide
-    isotropic noise parks most copies outside the corridor where every plan
-    legitimately fails, which makes a poor scale workload (round-2 finding).
-    """
-    from mind_tpu.sim.agents import MINDAgent
-
-    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
-    pl = ego.planner
-    inp = build_episode_inputs(sim, horizon)
-
+    heading, and a lateral sigma capped at `corridor_frac * tar_dist_thres`
+    so the perturbation respects the corridor the reference's target-lane
+    prune enforces (reference scenario_tree.py:373-379) — wide isotropic
+    noise parks most copies outside the corridor where every plan
+    legitimately fails, which makes a poor scale workload (round-2
+    finding)."""
     rng = np.random.default_rng(seed)
-    base = np.asarray(inp.ego_replay[0, 0], np.float64)  # local frame
+    base = np.asarray(base, np.float64)
     yaw = base[3]
-    lat_sigma = min(pos_sigma,
-                    corridor_frac * pl.cfg.scen_tree.tar_dist_thres)
+    lat_sigma = min(pos_sigma, corridor_frac * tar_dist_thres)
     d_long = rng.normal(0.0, pos_sigma, k)
     d_lat = rng.normal(0.0, lat_sigma, k)
     dx = d_long * np.cos(yaw) - d_lat * np.sin(yaw)
@@ -439,6 +430,27 @@ def build_mc_inputs(sim, k: int, pos_sigma: float = 0.5,
     starts[:, 0] += dx
     starts[:, 1] += dy
     starts[:, 2] = np.maximum(starts[:, 2] + dv, 0.0)
+    return starts
+
+
+def build_mc_inputs(sim, k: int, pos_sigma: float = 0.5,
+                    vel_sigma: float = 0.25, seed: int = 0,
+                    horizon: Optional[int] = None,
+                    corridor_frac: float = 0.1) -> EpisodeInputs:
+    """K perturbed-ego copies of one scenario's episode schedule.
+
+    The ego enables immediately (cycle 0) from a perturbed start state; see
+    `perturb_ego_starts` for the corridor-respecting noise model."""
+    from mind_tpu.sim.agents import MINDAgent
+
+    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
+    pl = ego.planner
+    inp = build_episode_inputs(sim, horizon)
+
+    base = np.asarray(inp.ego_replay[0, 0], np.float64)  # local frame
+    starts = perturb_ego_starts(base, k, pos_sigma, vel_sigma,
+                                pl.cfg.scen_tree.tar_dist_thres, seed,
+                                corridor_frac)
 
     def one(start):
         s = jnp.asarray(start, jnp.float64)
