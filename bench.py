@@ -275,9 +275,23 @@ def main():
 
     batched = _section("batched_episode", bench_batched)
 
+    def free_device_memory():
+        """Unload the previous sections' episode executables. The v5e worker
+        keeps scratch for every loaded executable; by the MC section enough
+        programs are resident that the [copies*B,N,N,D] fusion scratch no
+        longer fits and the worker faults (measured: MC chunk=4 crashes after
+        the batched section in-process, runs clean standalone or after this
+        clear)."""
+        from mind_tpu.sim import episode
+        episode._EPISODE_FN_CACHE.clear()
+        jax.clear_caches()
+
     # --- 64-way Monte-Carlo episode batch on demo_1 ---
     def bench_mc():
-        mc, _ = _timed(run_episode_monte_carlo, sims[0], 64)
+        free_device_memory()
+        # one-chunk warm run loads the (persistent-cached) executable; the
+        # timed 64-copy run then measures 16 warm chunk executions
+        _timed(run_episode_monte_carlo, sims[0], 4)
         mc, wall_mc = _timed(run_episode_monte_carlo, sims[0], 64)
         mc_total = sum(len(r.ego_states) for r in mc)
         return {
@@ -296,6 +310,7 @@ def main():
     av = next(a for a in sim.agents if a.id == "AV")
 
     def bench_host_loop():
+        free_device_memory()
         av.planner.export_trees = False
         snap = "/tmp/mind_tpu_bench_t0.npz"
         save_sim_state(sim, snap)

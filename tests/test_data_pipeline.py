@@ -61,6 +61,7 @@ def test_batch_shapes(real_batch, demo1_trajs):
     assert np.abs(first_step).max() < 10.0
 
 
+@pytest.mark.slow
 def test_training_reduces_loss_on_real_data(real_batch):
     cfg, batch = real_batch
     _, params, _ = init_scene_pred(cfg.net, cfg.max_actors, cfg.max_lanes,

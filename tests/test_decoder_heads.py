@@ -18,6 +18,7 @@ from mind_tpu.common.geometry import (
 A, L = 4, 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("head", ["monomial", "none"])
 def test_alt_decoder_heads(head):
     cfg = NetConfig(n_scene_layer=1, n_fpn_scale=2, d_actor=32, d_lane=32,

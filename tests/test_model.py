@@ -49,6 +49,7 @@ def test_forward_shapes(small_net):
     assert np.all(np.asarray(reg[..., 2:]) > 0)
 
 
+@pytest.mark.slow
 def test_mask_invariance(small_net):
     """Outputs for valid actors must not depend on padded actor/lane values."""
     cfg, model, params, batched_apply = small_net

@@ -40,6 +40,7 @@ def test_scene_loss_prefers_accurate_mode():
     assert l_good < l_bad  # cls loss targets the best (0th) mode
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(tiny):
     cfg, params, A, L = tiny
     optimizer = optax.adam(1e-3)
@@ -55,6 +56,7 @@ def test_train_step_reduces_loss(tiny):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_sharded_train_step(tiny):
     cfg, params, A, L = tiny
     optimizer = optax.adam(1e-3)
