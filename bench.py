@@ -23,6 +23,13 @@ detail carries:
 
 Compilation/cache-load is excluded everywhere: each program is timed on its
 second call (the persistent compile cache makes first calls cheap too).
+
+Every section runs in its OWN subprocess (`bench.py --section NAME`): a TPU
+worker fault (kernel fault / HBM exhaustion) in one section then kills only
+that section's process, the parent records the error, sleeps out the
+worker's recovery window, and the remaining sections still run with a fresh
+client. Without this, one fault poisons every later section in-process
+(observed in round 3's first bench attempt).
 """
 
 import json
@@ -219,35 +226,39 @@ def bench_phases(sim, pl):
     }
 
 
-def main():
+def _init_jax():
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
-    import numpy as np
+
+def _build_sims(demos):
     from mind_tpu.config import SimConfig
     from mind_tpu.sim.simulator import Simulator
-    from mind_tpu.sim.state_io import save_sim_state, load_sim_state
-    from mind_tpu.sim.episode import (
-        run_episode, run_episodes_batched, run_episode_monte_carlo)
-    from mind_tpu.planner.planner import ObsBuffer
 
     root = os.path.dirname(os.path.abspath(__file__))
     sims = []
-    for demo in DEMOS:
+    for demo in demos:
         cfg = SimConfig.from_json(os.path.join(root, f"configs/{demo}.json"),
                                   data_root="/root/reference/data")
         cfg.render = False
         sim = Simulator(cfg)
         sim.init_sim()
         sims.append(sim)
+    return sims
 
-    # --- fused episode, per demo (ONE compiled program for all four) ---
+
+def section_per_demo():
+    """Fused episode, per demo (ONE compiled program serves all four)."""
+    _init_jax()
+    from mind_tpu.sim.episode import run_episode
+
     per_demo = {}
-    for demo, sim in zip(DEMOS, sims):
+    for demo, sim in zip(DEMOS, _build_sims(DEMOS)):
         res, _ = _timed(run_episode, sim)   # compile/cache-load + warm
         assert res.fail_cycle == -1, f"{demo}: plan failure {res.fail_cycle}"
         res, wall = _timed(run_episode, sim)
@@ -259,101 +270,175 @@ def main():
             "plan_calls": res.plan_calls,
         }
         _progress(f"episode/{demo}", per_demo[demo])
+    return per_demo
 
-    # --- 4-demo batched episode: one vmapped program, one sync ---
-    def bench_batched():
-        results, _ = _timed(run_episodes_batched, sims)
-        results, wall_b = _timed(run_episodes_batched, sims)
-        total = sum(len(r.ego_states) for r in results)
-        return {
-            "scenarios": len(sims),
-            "agg_steps_per_s": round(total / wall_b, 2),
-            "vs_baseline": round(total / wall_b / BASELINE_STEPS_PER_SEC, 2),
-            "wall_s": round(wall_b, 2),
-            "fail_cycles": [r.fail_cycle for r in results],
-        }
 
-    batched = _section("batched_episode", bench_batched)
+def section_batched():
+    """4-demo batched episode: one vmapped program, one host sync."""
+    _init_jax()
+    from mind_tpu.sim.episode import run_episodes_batched
 
-    def free_device_memory():
-        """Unload the previous sections' episode executables. The v5e worker
-        keeps scratch for every loaded executable; by the MC section enough
-        programs are resident that the [copies*B,N,N,D] fusion scratch no
-        longer fits and the worker faults (measured: MC chunk=4 crashes after
-        the batched section in-process, runs clean standalone or after this
-        clear)."""
-        from mind_tpu.sim import episode
-        episode._EPISODE_FN_CACHE.clear()
-        jax.clear_caches()
+    sims = _build_sims(DEMOS)
+    results, _ = _timed(run_episodes_batched, sims)
+    results, wall_b = _timed(run_episodes_batched, sims)
+    total = sum(len(r.ego_states) for r in results)
+    return {
+        "scenarios": len(sims),
+        "agg_steps_per_s": round(total / wall_b, 2),
+        "vs_baseline": round(total / wall_b / BASELINE_STEPS_PER_SEC, 2),
+        "wall_s": round(wall_b, 2),
+        "fail_cycles": [r.fail_cycle for r in results],
+    }
 
-    # --- 64-way Monte-Carlo episode batch on demo_1 ---
-    def bench_mc():
-        free_device_memory()
-        # one-chunk warm run loads the (persistent-cached) executable; the
-        # timed 64-copy run then measures 16 warm chunk executions
-        _timed(run_episode_monte_carlo, sims[0], 4)
-        mc, wall_mc = _timed(run_episode_monte_carlo, sims[0], 64)
-        mc_total = sum(len(r.ego_states) for r in mc)
-        return {
-            "copies": 64,
-            "eff_steps_per_s": round(mc_total / wall_mc, 2),
-            "vs_baseline": round(mc_total / wall_mc
-                                 / BASELINE_STEPS_PER_SEC, 2),
-            "wall_s": round(wall_mc, 2),
-            "survived": sum(1 for r in mc if r.fail_cycle < 0),
-        }
 
-    monte_carlo = _section("monte_carlo_episode", bench_mc)
+def section_mc():
+    """64-way Monte-Carlo episode batch on demo_1."""
+    _init_jax()
+    from mind_tpu.sim.episode import run_episode_monte_carlo
 
-    # --- host-loop mode on demo_1 (round-1/2 comparable) ---
-    sim = sims[0]
+    sim = _build_sims(DEMOS[:1])[0]
+    # one-chunk warm run loads the (persistent-cached) executable; the
+    # timed 64-copy run then measures warm chunk executions
+    _timed(run_episode_monte_carlo, sim, 4)
+    mc, wall_mc = _timed(run_episode_monte_carlo, sim, 64)
+    mc_total = sum(len(r.ego_states) for r in mc)
+    return {
+        "copies": 64,
+        "eff_steps_per_s": round(mc_total / wall_mc, 2),
+        "vs_baseline": round(mc_total / wall_mc / BASELINE_STEPS_PER_SEC, 2),
+        "wall_s": round(wall_mc, 2),
+        "survived": sum(1 for r in mc if r.fail_cycle < 0),
+    }
+
+
+def _warm_host_loop(sim, av):
+    """Compile/warm the staged-planner programs via a 12-tick run, then
+    rewind the sim to its initial state for a clean timed run."""
+    from mind_tpu.sim.state_io import save_sim_state, load_sim_state
+    from mind_tpu.planner.planner import ObsBuffer
+
+    snap = "/tmp/mind_tpu_bench_t0.npz"
+    save_sim_state(sim, snap)
+    av.set_enable_timestep(0.0)
+    sim.sim_horizon = 12
+    sim.run_sim()
+    load_sim_state(sim, snap)
+    av.set_enable_timestep(4.0)
+    av.is_enable = False
+    av.last_pl_tri = None
+    av.planner.obs_buffer = ObsBuffer(av.planner.cfg.max_actors,
+                                      origin=av.planner.origin)
+    av.planner.metrics.timer.reset()
+    sim.sim_horizon = sim.config.sim_horizon
+
+
+def section_host_loop():
+    """Host-loop mode on demo_1 (round-1/2 comparable numbers)."""
+    _init_jax()
+    sim = _build_sims(DEMOS[:1])[0]
     av = next(a for a in sim.agents if a.id == "AV")
+    av.planner.export_trees = False
+    _warm_host_loop(sim, av)
+    t0 = time.perf_counter()
+    metrics = sim.run_sim()
+    wall = time.perf_counter() - t0
+    return {
+        "steps_per_s": round(metrics["ticks"] / wall, 2),
+        "vs_baseline": round(metrics["ticks"] / wall
+                             / BASELINE_STEPS_PER_SEC, 2),
+        "wall_s": round(wall, 2),
+        "plan_calls": metrics["plan_calls"],
+        "phase_mean_ms": {
+            k: v["mean_ms"]
+            for k, v in av.planner.metrics.timer.summary().items()},
+    }
 
-    def bench_host_loop():
-        free_device_memory()
-        av.planner.export_trees = False
-        snap = "/tmp/mind_tpu_bench_t0.npz"
-        save_sim_state(sim, snap)
-        av.set_enable_timestep(0.0)
-        sim.sim_horizon = 12
-        sim.run_sim()
-        load_sim_state(sim, snap)
-        av.set_enable_timestep(4.0)
-        av.is_enable = False
-        av.last_pl_tri = None
-        av.planner.obs_buffer = ObsBuffer(av.planner.cfg.max_actors,
-                                          origin=av.planner.origin)
-        av.planner.metrics.timer.reset()
-        sim.sim_horizon = sim.config.sim_horizon
-        t0 = time.perf_counter()
-        metrics = sim.run_sim()
-        wall = time.perf_counter() - t0
-        return {
-            "steps_per_s": round(metrics["ticks"] / wall, 2),
-            "vs_baseline": round(metrics["ticks"] / wall
-                                 / BASELINE_STEPS_PER_SEC, 2),
-            "wall_s": round(wall, 2),
-            "plan_calls": metrics["plan_calls"],
-            "phase_mean_ms": {
-                k: v["mean_ms"]
-                for k, v in av.planner.metrics.timer.summary().items()},
-        }
 
-    host_loop = _section("host_loop_demo_1", bench_host_loop)
+def section_phase_split():
+    """Per-phase device-time split + network MFU. Runs a short host loop
+    first so the planner holds a real demo_1 plan state."""
+    _init_jax()
+    sim = _build_sims(DEMOS[:1])[0]
+    av = next(a for a in sim.agents if a.id == "AV")
+    av.planner.export_trees = True
+    av.set_enable_timestep(0.0)
+    sim.sim_horizon = 12
+    sim.run_sim()
+    phases = bench_phases(sim, av.planner)
+    net = bench_network(av.planner)
+    phases["net_forward_b8_ms"] = net["net_forward_b8_ms"]
+    phases.update({k: net[k] for k in ("net_flops_per_fwd",
+                                       "net_mfu_bf16_peak")})
+    return phases
 
-    # --- per-phase split + MFU (planner state left by the host loop) ---
-    def bench_split():
-        av.planner.export_trees = True
-        phases = bench_phases(sim, av.planner)
-        net = bench_network(av.planner)
-        phases["net_forward_b8_ms"] = net["net_forward_b8_ms"]
-        phases.update({k: net[k] for k in ("net_flops_per_fwd",
-                                           "net_mfu_bf16_peak")})
-        return phases
 
-    phases = _section("phase_split", bench_split)
+SECTIONS = {
+    "per_demo_episode": section_per_demo,
+    "batched_episode": section_batched,
+    "monte_carlo_episode": section_mc,
+    "host_loop_demo_1": section_host_loop,
+    "phase_split": section_phase_split,
+}
+SECTION_TIMEOUT_S = {
+    "per_demo_episode": 2400,
+    "batched_episode": 1200,
+    "monte_carlo_episode": 3000,
+    "host_loop_demo_1": 1200,
+    "phase_split": 1200,
+}
+# a TPU-worker fault leaves the chip unusable for a few minutes; wait this
+# long before the next section / retry (measured recovery ~5-10 min)
+RECOVERY_SLEEP_S = 420
+RESULT_TAG = "@@BENCH_SECTION@@ "
 
-    worst = min(per_demo.values(), key=lambda d: d["steps_per_s"])
+
+def _run_section_subprocess(name):
+    """One section in its own process: a TPU-worker crash kills only this
+    section and the next one starts with a fresh client. Returns (ok, dict);
+    subprocess stderr (the _progress lines) passes through."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
+    try:
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                              timeout=SECTION_TIMEOUT_S[name])
+    except subprocess.TimeoutExpired:
+        return False, {"error": f"section timeout {SECTION_TIMEOUT_S[name]}s"}
+    out = proc.stdout.decode(errors="replace")
+    for line in out.splitlines():
+        if line.startswith(RESULT_TAG):
+            return True, json.loads(line[len(RESULT_TAG):])
+    return False, {"error": f"exit {proc.returncode}, no result line"}
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        out = SECTIONS[sys.argv[2]]()
+        print(RESULT_TAG + json.dumps(out), flush=True)
+        return
+
+    results = {}
+    failed_prev = False
+    for name in SECTIONS:
+        if failed_prev:
+            _progress("recovery", {"sleep_s": RECOVERY_SLEEP_S,
+                                   "before": name})
+            time.sleep(RECOVERY_SLEEP_S)
+        ok, out = _run_section_subprocess(name)
+        if not ok:  # one retry after letting the worker recover
+            _progress(name, {**out, "retrying": True})
+            time.sleep(RECOVERY_SLEEP_S)
+            ok, out = _run_section_subprocess(name)
+        failed_prev = not ok
+        results[name] = out
+        _progress(name, out)
+
+    per_demo = results["per_demo_episode"]
+    phases = results["phase_split"]
+    if "error" in per_demo:
+        worst = {"steps_per_s": 0.0, "vs_baseline": 0.0}
+    else:
+        worst = min(per_demo.values(), key=lambda d: d["steps_per_s"])
     result = {
         "metric": "four-demo closed-loop sim throughput, worst demo "
                   "(500 steps each, TPU v5e-1, fused episode, one program)",
@@ -362,9 +447,9 @@ def main():
         "vs_baseline": worst["vs_baseline"],
         "detail": {
             "per_demo_episode": per_demo,
-            "batched_episode": batched,
-            "monte_carlo_episode": monte_carlo,
-            "host_loop_demo_1": host_loop,
+            "batched_episode": results["batched_episode"],
+            "monte_carlo_episode": results["monte_carlo_episode"],
+            "host_loop_demo_1": results["host_loop_demo_1"],
             "phase_mean_ms": phases,
             "mfu": phases.get("net_mfu_bf16_peak"),
             "net_flops_per_fwd_b8": phases.get("net_flops_per_fwd"),

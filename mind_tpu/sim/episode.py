@@ -181,10 +181,10 @@ def build_episode_statics(planner) -> EpisodeStatics:
     )
 
 
-def _episode_core(params, inp: EpisodeInputs, st: EpisodeStatics,
-                  enable_tick, *, core, half, wb, max_spd, max_str, dt,
-                  solve_dtype):
-    """The whole closed loop as one pure scan over plan cycles.
+def _build_cycle(params, inp: EpisodeInputs, st: EpisodeStatics,
+                 enable_tick, *, core, half, wb, max_spd, max_str, dt,
+                 solve_dtype):
+    """One plan cycle of the device episode as a `lax.scan` step function.
 
     `enable_tick` is a SEPARATE (never-batched) scalar: it is the only input
     feeding the plan `lax.cond` predicate, so under `jax.vmap` the cond stays
@@ -194,8 +194,6 @@ def _episode_core(params, inp: EpisodeInputs, st: EpisodeStatics,
     planned-cycle work. The per-lane failure latch is applied to the OUTPUTS
     (a failed lane keeps planning in lock-step but discards the results),
     matching the host loop's observable behavior."""
-    C = inp.slot_states.shape[0]
-    A = inp.types.shape[0]
     eval_segs = (st.eval_seg_start, st.eval_seg_end, st.eval_seg_mask)
 
     def cycle(carry, xs):
@@ -254,13 +252,40 @@ def _episode_core(params, inp: EpisodeInputs, st: EpisodeStatics,
         return (buf, ego, new_ctrl, failed), (rec, ok, do_plan, out[3],
                                               new_ctrl)
 
-    buf0 = DeviceObsBuffer.create(A)
-    carry0 = (buf0, jnp.zeros(4, jnp.float64), jnp.zeros(2, jnp.float32),
-              jnp.array(False))
+    return cycle
+
+
+def _init_episode_carry(A: int):
+    return (DeviceObsBuffer.create(A), jnp.zeros(4, jnp.float64),
+            jnp.zeros(2, jnp.float32), jnp.array(False))
+
+
+def _episode_core(params, inp: EpisodeInputs, st: EpisodeStatics,
+                  enable_tick, **kw):
+    """The whole closed loop as ONE pure scan over all plan cycles."""
+    C = inp.slot_states.shape[0]
+    cycle = _build_cycle(params, inp, st, enable_tick, **kw)
+    carry0 = _init_episode_carry(inp.types.shape[0])
     xs = (inp.slot_states, inp.present, inp.active, inp.ego_replay,
           jnp.arange(C, dtype=jnp.int32))
     _, (rec, ok, planned, iters, ctrls) = jax.lax.scan(cycle, carry0, xs)
     return rec, ok, planned, iters, ctrls
+
+
+def _episode_core_seg(params, inp: EpisodeInputs, st: EpisodeStatics,
+                      enable_tick, c0, carry, **kw):
+    """A SEGMENT of the closed loop: plan cycles [c0, c0+Cseg) with an
+    explicit carry. Splitting the episode into a few device programs bounds
+    per-program execution time (a single 100-cycle Monte-Carlo chunk program
+    can run minutes when perturbed starts drive the iLQR to max iterations —
+    long enough to trip the TPU runtime's execution watchdog) at the price
+    of one ~µs host sync per segment instead of one per episode."""
+    Cseg = inp.slot_states.shape[0]
+    cycle = _build_cycle(params, inp, st, enable_tick, **kw)
+    xs = (inp.slot_states, inp.present, inp.active, inp.ego_replay,
+          c0 + jnp.arange(Cseg, dtype=jnp.int32))
+    carry, (rec, ok, planned, iters, ctrls) = jax.lax.scan(cycle, carry, xs)
+    return carry, (rec, ok, planned, iters, ctrls)
 
 
 # One jitted episode program per (planner configuration, batch mode): the
@@ -280,7 +305,8 @@ def _cfg_signature(planner, veh_param, dt: float) -> str:
     }, sort_keys=True, default=str)
 
 
-def _make_core(planner, veh_param, dt: float, batched_apply=None):
+def _make_core(planner, veh_param, dt: float, batched_apply=None,
+               seg: bool = False):
     cfg = planner.cfg
     ph = cfg.traj_tree.full
     half = 0.5 * (ph.smooth_grid_size[0] - 1) * ph.smooth_grid_res
@@ -292,7 +318,7 @@ def _make_core(planner, veh_param, dt: float, batched_apply=None):
         ilqr_cfg=planner.ilqr_cfg, warm_ilqr_cfg=planner.warm_ilqr_cfg,
         weights=weights)
     return functools.partial(
-        _episode_core, core=core, half=half,
+        _episode_core_seg if seg else _episode_core, core=core, half=half,
         wb=veh_param.wb, max_spd=veh_param.max_spd, max_str=veh_param.max_str,
         dt=dt, solve_dtype=jnp.dtype(planner.ilqr_cfg.dtype))
 
@@ -302,14 +328,16 @@ def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
 
     batch='single': fn(params, inputs, statics);
     batch='scenarios': vmapped over leading axes of BOTH inputs and statics;
-    batch='copies': vmapped over inputs only (shared statics — Monte-Carlo).
+    batch='copies': vmapped over inputs only (shared statics — Monte-Carlo);
+    batch='copies_seg': like 'copies' but one SEGMENT of cycles with an
+        explicit carry — fn(params, inputs, statics, enable_tick, c0, carry).
     """
     key = (_cfg_signature(planner, veh_param, dt), batch)
     fn = _EPISODE_FN_CACHE.get(key)
     if fn is not None:
         return fn
     batched_apply = None
-    if batch == "copies":
+    if batch in ("copies", "copies_seg"):
         # the pallas fusion kernel does not survive the extra vmap level
         # (Mosaic fails to legalize the doubly-batched grid), and at
         # copies*branch batch sizes the plain-XLA path batches just as well
@@ -320,15 +348,19 @@ def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
             net_cfg = dataclasses.replace(planner.cfg.net,
                                           use_pallas_fusion=False)
             batched_apply = make_batched_apply(ScenePredNet(net_cfg), net_cfg)
-    body = _make_core(planner, veh_param, dt, batched_apply)
-    # enable_tick (last positional arg) is NEVER batched: it drives the plan
-    # cond, which must stay uniform across vmap lanes (see _episode_core)
+    body = _make_core(planner, veh_param, dt, batched_apply,
+                      seg=batch == "copies_seg")
+    # enable_tick (and the segment's c0) are NEVER batched: enable_tick
+    # drives the plan cond, which must stay uniform across vmap lanes (see
+    # _build_cycle)
     if batch == "single":
         fn = jax.jit(body)
     elif batch == "scenarios":
         fn = jax.jit(jax.vmap(body, in_axes=(None, 0, 0, None)))
     elif batch == "copies":
         fn = jax.jit(jax.vmap(body, in_axes=(None, 0, None, None)))
+    elif batch == "copies_seg":
+        fn = jax.jit(jax.vmap(body, in_axes=(None, 0, None, None, None, 0)))
     else:
         raise ValueError(batch)
     _EPISODE_FN_CACHE[key] = fn
@@ -336,7 +368,9 @@ def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
 
 
 def _to_result(pl, rec, ok, planned, iters, ctrls) -> EpisodeResult:
-    rec = np.asarray(rec, np.float64).reshape(-1, 4)
+    # np.array (copy) not np.asarray: a CPU-backend jax array converts to a
+    # READ-ONLY zero-copy view, and the origin shift below writes in place
+    rec = np.array(rec, np.float64).reshape(-1, 4)
     rec[:, :2] += pl.origin
     ok = np.asarray(ok)
     planned = np.asarray(planned)
@@ -463,10 +497,21 @@ def build_mc_inputs(sim, k: int, pos_sigma: float = 0.5,
     return _stack([one(starts[i]) for i in range(k)])
 
 
+def _slice_cycles(inp: EpisodeInputs, s0: int, s1: int) -> EpisodeInputs:
+    """Slice the per-cycle fields [.., C, ..] to cycles [s0, s1)."""
+    ax = inp.slot_states.ndim - 3  # 0 unbatched, 1 with a leading copy axis
+    def cut(x):
+        return jax.lax.slice_in_dim(x, s0, s1, axis=ax)
+    return inp._replace(slot_states=cut(inp.slot_states),
+                        present=cut(inp.present), active=cut(inp.active),
+                        ego_replay=cut(inp.ego_replay))
+
+
 def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
                             vel_sigma: float = 0.25, seed: int = 0,
                             horizon: Optional[int] = None,
-                            chunk: int = 4) -> List[EpisodeResult]:
+                            chunk: int = 4,
+                            seg_cycles: int = 25) -> List[EpisodeResult]:
     """K Monte-Carlo perturbed closed-loop episodes, vmapped on device.
 
     Lanes run in chunks of `chunk` copies per device program: each plan
@@ -475,20 +520,40 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
     lanes would need ~2x5 GB of HBM scratch just for one layer. Measured on
     the real v5e chip, chunk=8 reproducibly faults the TPU worker (HBM
     exhaustion inside the fused episode program) while chunk=4 runs the
-    whole 64-copy sweep reliably, so 4 is the default."""
+    whole 64-copy sweep reliably, so 4 is the default.
+
+    Each chunk additionally runs as `seg_cycles`-cycle SEGMENTS (an explicit
+    scan carry crosses the host boundary): perturbed starts can drive the
+    iLQR toward max iterations on many cycles at once, and a single
+    100-cycle chunk program then runs long enough to trip the TPU runtime's
+    execution watchdog (observed as a worker 'kernel fault' on the k=64
+    stream while short probes passed). Bounding each program to ~25 cycles
+    keeps the per-dispatch time well under the watchdog at a cost of three
+    extra ~µs syncs per chunk."""
     from mind_tpu.sim.agents import MINDAgent
 
     ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
     pl = ego.planner
     inp_b = build_mc_inputs(sim, k, pos_sigma, vel_sigma, seed, horizon)
     statics = build_episode_statics(pl)
-    fn = episode_fn_for(pl, ego.veh_param, sim.sim_step, batch="copies")
+    fn = episode_fn_for(pl, ego.veh_param, sim.sim_step, batch="copies_seg")
+    C = int(inp_b.slot_states.shape[1])
+    A = int(inp_b.types.shape[-2])  # types is [K, A, 7] after _stack
     results: List[EpisodeResult] = []
     for lo in range(0, k, chunk):
         hi = min(lo + chunk, k)
         inp_c = jax.tree.map(lambda x: x[lo:hi], inp_b)
-        out = fn(pl.params, inp_c, statics, jnp.int32(0))
-        outs_np = [np.asarray(o) for o in out]
+        carry = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (hi - lo,) + x.shape),
+            _init_episode_carry(A))
+        segs = []
+        for s0 in range(0, C, seg_cycles):
+            s1 = min(s0 + seg_cycles, C)
+            carry, out = fn(pl.params, _slice_cycles(inp_c, s0, s1),
+                            statics, jnp.int32(0), jnp.int32(s0), carry)
+            segs.append([np.asarray(o) for o in out])
+        outs_np = [np.concatenate([s[j] for s in segs], axis=1)
+                   for j in range(len(segs[0]))]
         results.extend(
             _to_result(pl, *(o[i] for o in outs_np))
             for i in range(hi - lo))

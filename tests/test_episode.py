@@ -5,7 +5,8 @@ import pytest
 
 from mind_tpu.config import SimConfig, planner_config_for_demo
 from mind_tpu.sim.simulator import Simulator
-from mind_tpu.sim.episode import build_episode_inputs, run_episode
+from mind_tpu.sim.episode import (build_episode_inputs, run_episode,
+                                  run_episode_monte_carlo)
 
 DATA_ROOT = "/root/reference/data"
 
@@ -82,3 +83,21 @@ def test_episode_matches_host_loop():
 
     dev = np.linalg.norm(res.ego_states[:, :2] - traj_host[:, :2], axis=1)
     assert dev.max() <= 1e-3, f"max deviation {dev.max():.2e}"
+
+
+@pytest.mark.slow
+def test_episode_mc_segmented_invariant_to_seg_cycles():
+    """The Monte-Carlo runner's segment boundaries are pure bookkeeping: the
+    carried-scan split must reproduce the single-program trajectories
+    bit-for-bit (same programs, same data, only the scan cut differs)."""
+    steps = 30
+    sim = make_sim(steps)
+    full = run_episode_monte_carlo(sim, k=2, horizon=steps, chunk=2,
+                                   seg_cycles=steps // 5)   # one segment
+    seg = run_episode_monte_carlo(sim, k=2, horizon=steps, chunk=2,
+                                  seg_cycles=2)             # three segments
+    assert [r.fail_cycle for r in seg] == [r.fail_cycle for r in full]
+    for a, b in zip(seg, full):
+        np.testing.assert_array_equal(a.plan_ok, b.plan_ok)
+        np.testing.assert_allclose(a.ego_states, b.ego_states, atol=1e-9)
+        np.testing.assert_allclose(a.controls, b.controls, atol=1e-9)
