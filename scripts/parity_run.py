@@ -223,6 +223,17 @@ def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
         "  (Lyapunov growth of the coupled planner/vehicle loop); the",
         "  strict f64-solve mode shrinks the seeds to solver-ULP level.",
     ]
+    short = [s for s in sync_rows if s["plans_compared"] < s.get("plans", 60)]
+    if short:
+        names = ", ".join(s["demo"] for s in short)
+        lines += [
+            f"- On {names} the resynced run ended early: near the end of",
+            "  the scenario the production planner AND the f64 mirror",
+            "  AGREED the plan fails (zero ok flips — an implementation",
+            "  divergence would flip one side only), and the sim terminates",
+            "  on plan failure exactly like the reference",
+            "  (simulator.py:85-89).",
+        ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {path}")
