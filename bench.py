@@ -373,11 +373,13 @@ def section_phase_split():
 
 
 SECTIONS = {
+    # MC last: its perturbed starts hit data-dependent max-iteration
+    # cycles, making it the slowest / most timeout-prone section
     "per_demo_episode": section_per_demo,
     "batched_episode": section_batched,
-    "monte_carlo_episode": section_mc,
     "host_loop_demo_1": section_host_loop,
     "phase_split": section_phase_split,
+    "monte_carlo_episode": section_mc,
 }
 SECTION_TIMEOUT_S = {
     "per_demo_episode": 2400,

@@ -511,7 +511,7 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
                             vel_sigma: float = 0.25, seed: int = 0,
                             horizon: Optional[int] = None,
                             chunk: int = 4,
-                            seg_cycles: int = 25) -> List[EpisodeResult]:
+                            seg_cycles: int = 10) -> List[EpisodeResult]:
     """K Monte-Carlo perturbed closed-loop episodes, vmapped on device.
 
     Lanes run in chunks of `chunk` copies per device program: each plan
@@ -524,12 +524,14 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
 
     Each chunk additionally runs as `seg_cycles`-cycle SEGMENTS (an explicit
     scan carry crosses the host boundary): perturbed starts can drive the
-    iLQR toward max iterations on many cycles at once, and a single
+    iLQR toward max iterations on many cycles at once (measured ~17 s/cycle
+    vs ~1 s nominal on the k=64 stream's first chunk), and a single
     100-cycle chunk program then runs long enough to trip the TPU runtime's
     execution watchdog (observed as a worker 'kernel fault' on the k=64
-    stream while short probes passed). Bounding each program to ~25 cycles
-    keeps the per-dispatch time well under the watchdog at a cost of three
-    extra ~µs syncs per chunk."""
+    stream while short probes passed; a measured 466 s segment survived, a
+    ~900 s program did not). Bounding each program to 10 cycles keeps even
+    an all-hard-cycle dispatch near ~190 s, at the cost of nine extra ~µs
+    syncs per chunk."""
     from mind_tpu.sim.agents import MINDAgent
 
     ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
