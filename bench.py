@@ -415,12 +415,45 @@ def _run_section_subprocess(name):
     return False, {"error": f"exit {proc.returncode}, no result line"}
 
 
+def _wait_for_tpu(max_wait_s=2400):
+    """Gate the bench on a healthy device: after a worker fault the chip
+    needs a long IDLE recovery window during which clients hang in backend
+    init or fail to initialize. Probe with a trivial program in a
+    subprocess (so a hang can be killed) and sleep between attempts."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128,128), jnp.bfloat16); "
+             "print('PROBE_OK', float((x@x).sum()))")
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            p = subprocess.run([sys.executable, "-c", probe],
+                               stdout=subprocess.PIPE, timeout=180)
+            if b"PROBE_OK" in p.stdout:
+                _progress("tpu_probe", {"ok": True, "attempt": attempt})
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - t0
+        if waited > max_wait_s:
+            _progress("tpu_probe", {"ok": False, "attempt": attempt,
+                                    "waited_s": round(waited)})
+            return False
+        _progress("tpu_probe", {"ok": False, "attempt": attempt,
+                                "retry_in_s": 300})
+        time.sleep(300)
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
         out = SECTIONS[sys.argv[2]]()
         print(RESULT_TAG + json.dumps(out), flush=True)
         return
 
+    _wait_for_tpu()
     results = {}
     failed_prev = False
     for name in SECTIONS:
