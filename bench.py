@@ -453,7 +453,20 @@ def main():
         print(RESULT_TAG + json.dumps(out), flush=True)
         return
 
-    _wait_for_tpu()
+    if not _wait_for_tpu():
+        # dead chip: emit the one JSON line immediately instead of grinding
+        # through hours of per-section subprocess timeouts
+        print(json.dumps({
+            "metric": "four-demo closed-loop sim throughput, worst demo "
+                      "(500 steps each, TPU v5e-1, fused episode, one "
+                      "program)",
+            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+            "detail": {"error": "TPU backend unavailable: health probe "
+                                "failed for 40 min (worker fault recovery "
+                                "window)"},
+        }))
+        return
+
     results = {}
     failed_prev = False
     for name in SECTIONS:
