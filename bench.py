@@ -56,19 +56,6 @@ def _progress(name, payload):
           flush=True)
 
 
-def _section(name, fn):
-    """Non-headline sections must not take the whole bench down (e.g. a
-    transient TPU-worker crash): record the error and keep going."""
-    try:
-        out = fn()
-        _progress(name, out)
-        return out
-    except Exception as e:  # noqa: BLE001
-        err = {"error": f"{type(e).__name__}: {e}"[:300]}
-        _progress(name, err)
-        return err
-
-
 def bench_network(pl):
     """Standalone forward timing + compiled FLOP count -> MFU."""
     import jax
@@ -78,15 +65,19 @@ def bench_network(pl):
     B = cfg.scen_tree.max_branch_nodes
     A, L = cfg.max_actors, cfg.max_lanes
     N = A + L
+    # explicit f32 (the staged path's input dtype): under the package-wide
+    # x64 mode, dtype-less zeros would be f64 and a float32-compute config
+    # would then time an emulated-f64 forward instead of the production one
+    f32 = jnp.float32
     args = (
         pl.params,
-        jnp.zeros((B, A, cfg.net.obs_len - 2, cfg.net.in_actor)),
+        jnp.zeros((B, A, cfg.net.obs_len - 2, cfg.net.in_actor), f32),
         jnp.ones((B, A), bool),
-        jnp.zeros((B, L, 10, cfg.net.in_lane)),
+        jnp.zeros((B, L, 10, cfg.net.in_lane), f32),
         jnp.ones((B, L), bool),
-        jnp.zeros((B, N, N, cfg.net.d_rpe_in)),
-        jnp.zeros((B, 10, cfg.net.in_lane)),
-        jnp.zeros((B, 20)),
+        jnp.zeros((B, N, N, cfg.net.d_rpe_in), f32),
+        jnp.zeros((B, 10, cfg.net.in_lane), f32),
+        jnp.zeros((B, 20), f32),
     )
     fn = jax.jit(pl.batched_apply)
     compiled = fn.lower(*args).compile()
@@ -168,6 +159,15 @@ def bench_phases(sim, pl):
     offset = pl._field_offset(s_loc)
     warm_p = warm_p._replace(field_offset=offset)
     full_p = full_p._replace(field_offset=offset)
+    # cost params carry f64 leaves (decision precision); the micro-solves
+    # below call ilqr_solve directly, so cast to the f32 solve dtype the
+    # production two_phase_solve would use — otherwise the timed solves run
+    # promoted f64 math and overstate the production solver cost
+    def _cast32(t):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, t)
+    warm_p32, full_p32 = _cast32(warm_p), _cast32(full_p)
 
     t_solve = timed_dev(pl._solve_fn, state.slots, meta.norm_prob, amask_d,
                         topo_b, cost_slot_b, cost_step_b, tree_mask, x0,
@@ -183,7 +183,7 @@ def bench_phases(sim, pl):
     def warm_only(topo_bb, nodes_bb):
         def one(topo, nodes):
             us0 = jnp.zeros((topo.parent.shape[0], 2), x0.dtype)
-            _, us, info = ilqr_solve(topo, x0, us0, nodes, warm_p,
+            _, us, info = ilqr_solve(topo, x0, us0, nodes, warm_p32,
                                      pl.warm_ilqr_cfg)
             return us, info["iterations"]
         return jax.vmap(one)(topo_bb, nodes_bb)
@@ -194,7 +194,7 @@ def bench_phases(sim, pl):
 
     def full_only(topo_bb, nodes_bb, us_warm_bb):
         def one(topo, nodes, us_warm):
-            xs, us, info = ilqr_solve(topo, x0, us_warm, nodes, full_p,
+            xs, us, info = ilqr_solve(topo, x0, us_warm, nodes, full_p32,
                                       pl.ilqr_cfg)
             return xs, us
         return jax.vmap(one)(topo_bb, nodes_bb, us_warm_bb)

@@ -136,7 +136,10 @@ class MultiScenarioSim:
         if not any(p.obs_buffer.pending is not None for p in planners):
             return
         A = planners[0].obs_buffer.A
-        states = np.zeros((len(planners), A, 4), np.float32)
+        # float64: the observation pipeline feeds the f64 decision path
+        # (prune/branch/selection parity with the mirror); an f32 staging
+        # buffer here would silently re-round every batched observation
+        states = np.zeros((len(planners), A, 4), np.float64)
         present = np.zeros((len(planners), A), bool)
         for i, p in enumerate(planners):
             if p.obs_buffer.pending is not None:

@@ -328,16 +328,19 @@ def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
 
     batch='single': fn(params, inputs, statics);
     batch='scenarios': vmapped over leading axes of BOTH inputs and statics;
-    batch='copies': vmapped over inputs only (shared statics — Monte-Carlo);
-    batch='copies_seg': like 'copies' but one SEGMENT of cycles with an
-        explicit carry — fn(params, inputs, statics, enable_tick, c0, carry).
+    batch='copies_seg': vmapped over inputs only (shared statics —
+        Monte-Carlo), one SEGMENT of cycles with an explicit carry —
+        fn(params, inputs, statics, enable_tick, c0, carry). There is
+        deliberately NO unsegmented copies mode: a whole-episode
+        Monte-Carlo program is exactly the configuration that trips the
+        TPU execution watchdog on hard perturbed cycles.
     """
     key = (_cfg_signature(planner, veh_param, dt), batch)
     fn = _EPISODE_FN_CACHE.get(key)
     if fn is not None:
         return fn
     batched_apply = None
-    if batch in ("copies", "copies_seg"):
+    if batch == "copies_seg":
         # the pallas fusion kernel does not survive the extra vmap level
         # (Mosaic fails to legalize the doubly-batched grid), and at
         # copies*branch batch sizes the plain-XLA path batches just as well
@@ -357,8 +360,6 @@ def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
         fn = jax.jit(body)
     elif batch == "scenarios":
         fn = jax.jit(jax.vmap(body, in_axes=(None, 0, 0, None)))
-    elif batch == "copies":
-        fn = jax.jit(jax.vmap(body, in_axes=(None, 0, None, None)))
     elif batch == "copies_seg":
         fn = jax.jit(jax.vmap(body, in_axes=(None, 0, None, None, None, 0)))
     else:
@@ -426,6 +427,26 @@ def run_episodes_batched(sims, horizon: Optional[int] = None
     inps = [build_episode_inputs(s, horizon) for s in sims]
     ticks = {int(i.enable_tick) for i in inps}
     assert len(ticks) == 1, f"egos must share the enable tick, got {ticks}"
+    # the compiled core bakes pls[0]'s NON-static values (selection
+    # weights, iLQR budgets/solve dtype, grid half-size, vehicle, net
+    # architecture) — per-scenario cost weights ride in the runtime statics
+    # (demo_3's w_des override), but a planner differing in a BAKED field
+    # would silently run with scenario 0's constants, so assert equality
+    def baked_sig(p, e, s):
+        ph = p.cfg.traj_tree.full
+        return json.dumps({
+            "weights": [p.cfg.comfort_acc_weight, p.cfg.comfort_str_weight,
+                        p.cfg.efficiency_weight, p.cfg.target_weight],
+            "half": 0.5 * (ph.smooth_grid_size[0] - 1) * ph.smooth_grid_res,
+            "ilqr": list(p.ilqr_cfg), "warm": list(p.warm_ilqr_cfg),
+            "net": dataclasses.asdict(p.cfg.net),
+            "shapes": [p.cfg.max_actors, p.cfg.max_lanes],
+            "veh": [e.veh_param.wb, e.veh_param.max_spd, e.veh_param.max_str],
+            "dt": s.sim_step,
+        }, sort_keys=True, default=str)
+
+    sigs = {baked_sig(p, e, s) for p, e, s in zip(pls, egos, sims)}
+    assert len(sigs) == 1, "scenario planners differ in core-baked config"
     inp_b = _stack(inps)
     st_b = _stack([build_episode_statics(p) for p in pls])
     fn = episode_fn_for(pls[0], egos[0].veh_param, sims[0].sim_step,
