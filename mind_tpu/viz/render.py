@@ -294,15 +294,11 @@ def render_frames_to_video(sim, figsize=12):
     from mind_tpu.viz.video import write_mjpeg_avi
 
     video = os.path.join(out_dir, f"{sim.seq_id}_{sim.sim_name}.avi")
-    # numeric frame order: a lexicographic sort would place frame_1000
-    # before frame_999 once the %03d counter grows a digit
-    pngs = [
-        os.path.join(img_dir, f)
-        for f in sorted(
-            (f for f in os.listdir(img_dir)
-             if f.startswith("frame_") and f.endswith(".png")),
-            key=lambda f: int(f[len("frame_"):-len(".png")]))
-    ]
+    from mind_tpu.viz.video import numeric_frame_sort
+
+    pngs = numeric_frame_sort(
+        os.path.join(img_dir, f) for f in os.listdir(img_dir)
+        if f.startswith("frame_") and f.endswith(".png"))
     write_mjpeg_avi(pngs, video, fps=25)
     shutil.rmtree(img_dir)
     return video

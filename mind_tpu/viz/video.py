@@ -20,6 +20,20 @@ import struct
 from typing import Iterable, List, Tuple
 
 
+def numeric_frame_sort(names: Iterable[str], prefix: str = "frame_",
+                       suffix: str = ".png") -> List[str]:
+    """Order frame filenames by their numeric counter. A plain
+    lexicographic sort scrambles videos once the %03d counter grows a
+    digit ('frame_1000' < 'frame_999' as strings)."""
+    import os.path as osp
+
+    def key(p):
+        b = osp.basename(p)
+        return int(b[len(prefix):-len(suffix)])
+
+    return sorted(names, key=key)
+
+
 def _jpeg_frames(png_paths: Iterable[str], quality: int) -> Tuple[List[bytes], int, int]:
     from PIL import Image
 

@@ -3,7 +3,16 @@
 import numpy as np
 import pytest
 
-from mind_tpu.viz.video import write_mjpeg_avi, probe_avi
+from mind_tpu.viz.video import (write_mjpeg_avi, probe_avi,
+                                numeric_frame_sort)
+
+
+def test_numeric_frame_sort_past_three_digits():
+    """frame_1000 must come after frame_999 (lexicographic order would
+    scramble long renders)."""
+    names = [f"/x/frame_{i}.png" for i in (1000, 2, 999, 10, 1001)]
+    out = numeric_frame_sort(names)
+    assert out == [f"/x/frame_{i}.png" for i in (2, 10, 999, 1000, 1001)]
 
 
 @pytest.fixture
