@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -20,7 +20,7 @@ from mind_tpu.data.av2 import (
     load_scenario,
 )
 from mind_tpu.data.semantic_map import SemanticMap
-from mind_tpu.common.geometry import project_point_on_polyline, wrap_angle
+from mind_tpu.common.geometry import wrap_angle
 
 OBS_LEN = 50  # 10 Hz frames of history in the source log
 ORI_SIM_STEP = 0.1

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from mind_tpu.config import PlannerConfig
 from mind_tpu.data.loader import TrajBundle
-from mind_tpu.data.semantic_map import SemanticMap
 from mind_tpu.models.train import Batch
 from mind_tpu.planner.scene_prep import (
     OBS_LEN,

@@ -10,7 +10,6 @@ classification), optax AdamW, and a data-parallel `jit` over an explicit
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

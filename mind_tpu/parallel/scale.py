@@ -9,7 +9,6 @@ that saturates ICI-attached v5e slices with thousands of contingency solves.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,8 +28,7 @@ the whole solver vmaps across scenario trees.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import numpy as np
 import jax

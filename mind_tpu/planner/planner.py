@@ -32,7 +32,7 @@ from mind_tpu.planner.scene_prep import (
     LaneGraphStatic,
     TargetLaneStatic,
 )
-from mind_tpu.planner.scenario_tree import PRED_LEN, NodeSlots
+from mind_tpu.planner.scenario_tree import NodeSlots
 from mind_tpu.planner.aime_device import (
     DeviceObsBuffer,
     obs_buffer_update,

@@ -25,7 +25,6 @@ coordinates each round (see scene_prep.py docstring).
 
 from __future__ import annotations
 
-import functools
 from typing import List, NamedTuple, Optional
 
 import numpy as np

@@ -9,7 +9,6 @@ target-lane selection and state hand-off.
 
 from __future__ import annotations
 
-import copy
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mind_tpu.common.kinematics import kine_propagate
 from mind_tpu.data.loader import TrajBundle
 
 

@@ -94,8 +94,10 @@ def test_episode_mc_segmented_invariant_to_seg_cycles():
     sim = make_sim(steps)
     full = run_episode_monte_carlo(sim, k=2, horizon=steps, chunk=2,
                                    seg_cycles=steps // 5)   # one segment
+    # 4-cycle segments over 6 cycles: [4, 2] — also covers the remainder
+    # segment (its shorter scan is a separate compiled shape)
     seg = run_episode_monte_carlo(sim, k=2, horizon=steps, chunk=2,
-                                  seg_cycles=2)             # three segments
+                                  seg_cycles=4)
     assert [r.fail_cycle for r in seg] == [r.fail_cycle for r in full]
     for a, b in zip(seg, full):
         np.testing.assert_array_equal(a.plan_ok, b.plan_ok)
