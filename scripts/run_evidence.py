@@ -1,0 +1,106 @@
+"""Round-evidence pipeline: gate on TPU health, then run every pending
+hardware-evidence task in sequence.
+
+The axon-tunneled chip needs a LONG fully-idle recovery after a worker
+fault, and repeated probing appears to reset that window (see
+.claude/skills/verify/SKILL.md) — so this gate sleeps 40 idle minutes
+between single subprocess-isolated probes instead of hammering it.
+
+On a healthy probe it runs, in order:
+  1. scripts/run_all_demos.py --report DEMOS_TPU.md   (host-loop acceptance)
+  2. bench.py > BENCH_local.json                       (all 5 sections)
+  3. scripts/bench_mc.py --k 64 --out outputs/mc64.json (full MC sweep)
+
+Each step is its own subprocess with a generous timeout; a step failure
+sleeps out the worker recovery window before the next step.
+
+Usage: python scripts/run_evidence.py [--max-wait-h 6] [--probe-now]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+IDLE_SLEEP_S = 2400          # 40 min fully-idle between probes
+RECOVERY_SLEEP_S = 600       # after a step failure, before the next step
+PROBE_TIMEOUT_S = 180
+
+STEPS = [
+    ("demos", [sys.executable, "scripts/run_all_demos.py",
+               "--report", "DEMOS_TPU.md"], 3600, None),
+    ("bench", [sys.executable, "bench.py"], 4 * 3600, "BENCH_local.json"),
+    ("mc64", [sys.executable, "scripts/bench_mc.py", "--k", "64",
+              "--out", "outputs/mc64.json"], 3600, None),
+]
+
+
+def log(msg):
+    print(f"[evidence {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def probe_once() -> bool:
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128,128), jnp.bfloat16); "
+            "print('PROBE_OK', float((x@x).sum()))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                           timeout=PROBE_TIMEOUT_S)
+        return b"PROBE_OK" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-wait-h", type=float, default=6.0)
+    ap.add_argument("--probe-now", action="store_true",
+                    help="probe immediately instead of idling first")
+    args = ap.parse_args()
+
+    os.chdir(ROOT)
+    t0 = time.time()
+    attempt = 0
+    while True:
+        if attempt > 0 or not args.probe_now:
+            log(f"idling {IDLE_SLEEP_S}s before probe {attempt + 1}")
+            time.sleep(IDLE_SLEEP_S)
+        attempt += 1
+        if probe_once():
+            log(f"probe {attempt} OK after {round(time.time() - t0)}s")
+            break
+        waited_h = (time.time() - t0) / 3600
+        log(f"probe {attempt} failed ({waited_h:.1f}h waited)")
+        if waited_h > args.max_wait_h:
+            log("giving up: TPU never became healthy")
+            sys.exit(2)
+
+    results = {}
+    for name, cmd, timeout_s, stdout_file in STEPS:
+        log(f"step {name}: {' '.join(cmd)}")
+        out = open(stdout_file, "w") if stdout_file else None
+        try:
+            p = subprocess.run(cmd, timeout=timeout_s,
+                               stdout=out or None)
+            results[name] = p.returncode
+        except subprocess.TimeoutExpired:
+            results[name] = "timeout"
+        finally:
+            if out:
+                out.close()
+        log(f"step {name} -> {results[name]}")
+        if results[name] != 0:
+            log(f"sleeping {RECOVERY_SLEEP_S}s (worker recovery)")
+            time.sleep(RECOVERY_SLEEP_S)
+    log("pipeline done: " + json.dumps(results))
+    sys.exit(0 if all(v == 0 for v in results.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
