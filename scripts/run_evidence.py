@@ -32,8 +32,13 @@ RECOVERY_SLEEP_S = 600       # after a step failure, before the next step
 PROBE_TIMEOUT_S = 180
 
 STEPS = [
-    ("demos", [sys.executable, "scripts/run_all_demos.py",
-               "--report", "DEMOS_TPU.md"], 3600, None),
+    # two processes for the two demo modes: holding both executable sets in
+    # one process pressures HBM (see bench.py's section isolation)
+    ("demos_episode", [sys.executable, "scripts/run_all_demos.py",
+                       "--mode", "episode"], 3600, None),
+    ("demos_host", [sys.executable, "scripts/run_all_demos.py",
+                    "--mode", "host", "--report", "DEMOS_TPU.md"],
+     3600, None),
     ("bench", [sys.executable, "bench.py"], 4 * 3600, "BENCH_local.json"),
     ("mc64", [sys.executable, "scripts/bench_mc.py", "--k", "64",
               "--out", "outputs/mc64.json"], 3600, None),
