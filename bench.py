@@ -418,8 +418,9 @@ def _run_section_subprocess(name):
 def _wait_for_tpu(max_wait_s=2400):
     """Gate the bench on a healthy device: after a worker fault the chip
     needs a long IDLE recovery window during which clients hang in backend
-    init or fail to initialize. Probe with a trivial program in a
-    subprocess (so a hang can be killed) and sleep between attempts."""
+    init or fail to initialize — and repeated probing appears to RESET that
+    window, so probe rarely (20 min apart), each probe in a subprocess so a
+    hang can be killed."""
     import subprocess
 
     probe = ("import jax, jax.numpy as jnp; "
@@ -443,8 +444,8 @@ def _wait_for_tpu(max_wait_s=2400):
                                     "waited_s": round(waited)})
             return False
         _progress("tpu_probe", {"ok": False, "attempt": attempt,
-                                "retry_in_s": 300})
-        time.sleep(300)
+                                "retry_in_s": 1200})
+        time.sleep(1200)
 
 
 def main():
