@@ -98,3 +98,25 @@ def test_tree():
     assert [n.key for n in t.retrieve_nodes_to_root("a1")] == ["a1", "a", "root"]
     assert t.bfs_keys() == ["root", "a", "b", "a1"]
     assert t.size() == 4
+
+
+def test_bbox_for_type_reference_mapping():
+    """Reference agent.py:92-105: vehicle/pedestrian/bus get their own
+    boxes, motorcyclist shares the cyclist box, everything else falls back
+    to the unit-ish unknown box."""
+    from mind_tpu.common.bbox import bbox_for_type, BBOX_DIMS
+    from mind_tpu.data.av2 import ObjectType
+
+    assert bbox_for_type(ObjectType.VEHICLE) == BBOX_DIMS["vehicle"]
+    assert bbox_for_type(ObjectType.PEDESTRIAN) == BBOX_DIMS["pedestrian"]
+    assert bbox_for_type(ObjectType.BUS) == BBOX_DIMS["bus"]
+    assert (bbox_for_type(ObjectType.MOTORCYCLIST)
+            == bbox_for_type(ObjectType.CYCLIST)
+            == BBOX_DIMS["cyclist"])
+    for t in (ObjectType.STATIC, ObjectType.BACKGROUND,
+              ObjectType.CONSTRUCTION, ObjectType.RIDERLESS_BICYCLE,
+              ObjectType.UNKNOWN):
+        assert bbox_for_type(t) == BBOX_DIMS["unknown"]
+    # (length, width, height), all positive
+    for dims in BBOX_DIMS.values():
+        assert len(dims) == 3 and all(d > 0 for d in dims)
