@@ -42,6 +42,7 @@ STEPS = [
     ("bench", [sys.executable, "bench.py"], 4 * 3600, "BENCH_local.json"),
     ("mc64", [sys.executable, "scripts/bench_mc.py", "--k", "64",
               "--out", "outputs/mc64.json"], 3600, None),
+    ("strict", [sys.executable, "scripts/bench_strict.py"], 3600, None),
 ]
 
 
