@@ -255,13 +255,12 @@ def _build_sims(demos):
 def section_per_demo():
     """Fused episode, per demo (ONE compiled program serves all four)."""
     _init_jax()
-    from mind_tpu.sim.episode import run_episode
+    from mind_tpu.sim.episode import run_episode_timed
 
     per_demo = {}
     for demo, sim in zip(DEMOS, _build_sims(DEMOS)):
-        res, _ = _timed(run_episode, sim)   # compile/cache-load + warm
+        res, wall = run_episode_timed(sim)
         assert res.fail_cycle == -1, f"{demo}: plan failure {res.fail_cycle}"
-        res, wall = _timed(run_episode, sim)
         sps = len(res.ego_states) / wall
         per_demo[demo] = {
             "steps_per_s": round(sps, 2),
@@ -419,25 +418,17 @@ def _wait_for_tpu(max_wait_s=2400):
     """Gate the bench on a healthy device: after a worker fault the chip
     needs a long IDLE recovery window during which clients hang in backend
     init or fail to initialize — and repeated probing appears to RESET that
-    window, so probe rarely (20 min apart), each probe in a subprocess so a
-    hang can be killed."""
-    import subprocess
+    window, so probe rarely (20 min apart; the shared probe lives in
+    mind_tpu.utils.tpu_health)."""
+    from mind_tpu.utils.tpu_health import probe_once
 
-    probe = ("import jax, jax.numpy as jnp; "
-             "x = jnp.ones((128,128), jnp.bfloat16); "
-             "print('PROBE_OK', float((x@x).sum()))")
     t0 = time.time()
     attempt = 0
     while True:
         attempt += 1
-        try:
-            p = subprocess.run([sys.executable, "-c", probe],
-                               stdout=subprocess.PIPE, timeout=180)
-            if b"PROBE_OK" in p.stdout:
-                _progress("tpu_probe", {"ok": True, "attempt": attempt})
-                return True
-        except subprocess.TimeoutExpired:
-            pass
+        if probe_once():
+            _progress("tpu_probe", {"ok": True, "attempt": attempt})
+            return True
         waited = time.time() - t0
         if waited > max_wait_s:
             _progress("tpu_probe", {"ok": False, "attempt": attempt,

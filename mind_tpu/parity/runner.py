@@ -130,10 +130,10 @@ def run_parity_episode_playback(demo: str, max_steps: int,
     ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
     dev_pl = ego.planner
 
-    t0 = time.perf_counter()
-    res = run_episode(sim, max_steps)
-    t_epi = time.perf_counter() - t0
     inp = build_episode_inputs(sim, max_steps)
+    t0 = time.perf_counter()
+    res = run_episode(sim, max_steps, inputs=inp)
+    t_epi = time.perf_counter() - t0
 
     host_pl = HostRefPlanner(
         dev_pl.cfg, ego._smp, ego.lcl_smp,
@@ -163,6 +163,10 @@ def run_parity_episode_playback(demo: str, max_steps: int,
     ok_flips = 0
     t0 = time.perf_counter()
     for c in range(C):
+        if res.fail_cycle >= 0 and c > res.fail_cycle:
+            # past the failing cycle the episode holds the ego frozen and
+            # plans nothing — there is nothing left to compare
+            break
         t_tick = c * TICKS_PER_PLAN
         ego_state = res.ego_states[c * TICKS_PER_PLAN].astype(np.float64)
         obs = []
@@ -178,8 +182,6 @@ def run_parity_episode_playback(demo: str, max_steps: int,
 
         if not res.planned[c]:
             continue
-        if res.fail_cycle >= 0 and c > res.fail_cycle:
-            break
         ctrl_in = (np.zeros(2) if t_tick <= enable_tick
                    else res.controls[c - 1].astype(np.float64))
         host_pl.update_state_ctrl(ego_state, ctrl_in)

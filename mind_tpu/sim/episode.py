@@ -193,7 +193,11 @@ def _build_cycle(params, inp: EpisodeInputs, st: EpisodeStatics,
     difference between the batched 4-demo program costing ~1× and ~2.5× the
     planned-cycle work. The per-lane failure latch is applied to the OUTPUTS
     (a failed lane keeps planning in lock-step but discards the results),
-    matching the host loop's observable behavior."""
+    matching the host loop's observable behavior. The unbatched mode shares
+    this cycle body, so a failed single-scenario episode also keeps
+    executing (discarded) plan cycles — accepted: failure ends the
+    episode's useful region anyway, and one cycle implementation keeps the
+    single/batched programs semantically identical by construction."""
     eval_segs = (st.eval_seg_start, st.eval_seg_end, st.eval_seg_mask)
 
     def cycle(carry, xs):
@@ -298,6 +302,16 @@ def _cfg_signature(planner, veh_param, dt: float) -> str:
     cfg = dataclasses.asdict(planner.cfg)
     cfg.pop("ckpt_path", None)  # weights are data, not program structure
     cfg.pop("seed", None)
+    # every OptPhaseConfig field except the grid geometry becomes a runtime
+    # CostParams array (trajectory_tree.make_cost_params) — cost weights and
+    # bounds are episode-statics DATA, not program structure. Keeping them
+    # in the key would give demo_3 (w_des_velocity override) a needless
+    # second executable, breaking the one-compilation-serves-all-demos
+    # property this cache exists for.
+    for ph in ("warm", "full"):
+        phase = cfg["traj_tree"][ph]
+        cfg["traj_tree"][ph] = {
+            k: phase[k] for k in ("smooth_grid_res", "smooth_grid_size")}
     return json.dumps({
         "cfg": cfg,
         "veh": (veh_param.wb, veh_param.max_spd, veh_param.max_str),
@@ -377,6 +391,12 @@ def _to_result(pl, rec, ok, planned, iters, ctrls) -> EpisodeResult:
     planned = np.asarray(planned)
     failed = planned & ~ok
     fail_cycle = int(np.argmax(failed)) if failed.any() else -1
+    if fail_cycle >= 0:
+        # truncate at the failing cycle like the reference's terminate-on-
+        # plan-failure loop (simulator.py:85-89): the device program keeps
+        # the ego frozen past this point, and those frozen frames are
+        # neither trajectory data nor simulated throughput steps
+        rec = rec[: (fail_cycle + 1) * TICKS_PER_PLAN]
     return EpisodeResult(
         ego_states=rec,
         plan_ok=ok,
@@ -389,21 +409,39 @@ def _to_result(pl, rec, ok, planned, iters, ctrls) -> EpisodeResult:
     )
 
 
-def run_episode(sim, horizon: Optional[int] = None) -> EpisodeResult:
+def run_episode(sim, horizon: Optional[int] = None,
+                inputs: Optional[EpisodeInputs] = None) -> EpisodeResult:
     """Run one scenario's closed loop as a single device program.
 
     `sim` must be an initialized Simulator with one MINDAgent ego. The
     returned ego trajectory matches `Simulator.run_sim()` +
-    `sim.ego_trajectory()` (tests/test_episode.py asserts <= 1e-3)."""
+    `sim.ego_trajectory()` (tests/test_episode.py asserts <= 1e-3).
+    `inputs` optionally reuses a schedule from `build_episode_inputs(sim,
+    horizon)` (callers that need the schedule themselves — e.g. the parity
+    playback harness — avoid building and uploading it twice)."""
     from mind_tpu.sim.agents import MINDAgent
 
     ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
     pl = ego.planner
-    inp = build_episode_inputs(sim, horizon)
+    inp = inputs if inputs is not None else build_episode_inputs(sim, horizon)
     statics = build_episode_statics(pl)
     fn = episode_fn_for(pl, ego.veh_param, sim.sim_step)
     out = fn(pl.params, inp, statics, inp.enable_tick)
     return _to_result(pl, *out)
+
+
+def run_episode_timed(sim, horizon: Optional[int] = None):
+    """(result, wall_s) with the warm-measurement discipline every episode
+    benchmark uses: the first call absorbs compile/cache-load/warm-up, the
+    second is timed. Shared by bench.py, scripts/bench_strict.py, and
+    scripts/run_all_demos.py so the timing definition cannot drift."""
+    import time
+
+    inp = build_episode_inputs(sim, horizon)
+    run_episode(sim, horizon, inputs=inp)
+    t0 = time.perf_counter()
+    res = run_episode(sim, horizon, inputs=inp)
+    return res, time.perf_counter() - t0
 
 
 def _stack(items):
@@ -447,6 +485,20 @@ def run_episodes_batched(sims, horizon: Optional[int] = None
 
     sigs = {baked_sig(p, e, s) for p, e, s in zip(pls, egos, sims)}
     assert len(sigs) == 1, "scenario planners differ in core-baked config"
+    # the batched program runs EVERY scenario with pls[0]'s weights — equal
+    # configs do not imply equal checkpoints, and silently planning
+    # scenarios 1..S-1 with scenario 0's network would be plausible-but-
+    # wrong output, so require identical (or same-object) params
+    for i, p in enumerate(pls[1:], 1):
+        if p.params is pls[0].params:
+            continue
+        same = jax.tree.all(jax.tree.map(
+            lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+            p.params, pls[0].params))
+        assert same, (
+            f"scenario {i}'s planner holds different network weights than "
+            f"scenario 0; run_episodes_batched shares scenario 0's params "
+            f"— run differing-weight scenarios via run_episode instead")
     inp_b = _stack(inps)
     st_b = _stack([build_episode_statics(p) for p in pls])
     fn = episode_fn_for(pls[0], egos[0].veh_param, sims[0].sim_step,

@@ -17,7 +17,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -41,7 +40,7 @@ def main():
 
     from mind_tpu.config import SimConfig, planner_config_for_demo
     from mind_tpu.sim.simulator import Simulator
-    from mind_tpu.sim.episode import run_episode
+    from mind_tpu.sim.episode import run_episode_timed
 
     rows = []
     for d in args.demos.split(","):
@@ -53,10 +52,11 @@ def main():
         pcfg.traj_tree.solve_dtype = "float64"
         sim = Simulator(cfg, planner_cfg=pcfg, max_steps=args.steps)
         sim.init_sim()
-        res = run_episode(sim)           # compile/cache-load + warm
-        t0 = time.perf_counter()
-        res = run_episode(sim)
-        wall = time.perf_counter() - t0
+        res, wall = run_episode_timed(sim)
+        if res.fail_cycle >= 0:
+            print(f"WARNING: {demo} strict-mode plan failure at cycle "
+                  f"{res.fail_cycle}; row times the truncated rollout",
+                  file=sys.stderr)
         sps = len(res.ego_states) / wall
         row = {
             "demo": demo, "ticks": len(res.ego_states),

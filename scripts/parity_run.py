@@ -224,8 +224,10 @@ def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
         "  strict f64-solve mode shrinks the seeds to solver-ULP level.",
     ]
     short = [s for s in sync_rows if s["plans_compared"] < s.get("plans", 60)]
-    if short:
-        names = ", ".join(s["demo"] for s in short)
+    agreed = [s for s in short if s["ok_mismatches"] == 0]
+    flipped = [s for s in short if s["ok_mismatches"] > 0]
+    if agreed:
+        names = ", ".join(s["demo"] for s in agreed)
         lines += [
             f"- On {names} the resynced run ended early: near the end of",
             "  the scenario the production planner AND the f64 mirror",
@@ -233,6 +235,14 @@ def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
             "  divergence would flip one side only), and the sim terminates",
             "  on plan failure exactly like the reference",
             "  (simulator.py:85-89).",
+        ]
+    if flipped:
+        names = ", ".join(f"{s['demo']} ({s['ok_mismatches']} flips)"
+                          for s in flipped)
+        lines += [
+            f"- On {names} the resynced run ended early WITH plan-success",
+            "  flips: the two sides disagreed on plan feasibility. This is",
+            "  a parity defect and is counted in the FAIL verdict above.",
         ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

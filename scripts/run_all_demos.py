@@ -48,7 +48,7 @@ def main():
     from mind_tpu.sim.simulator import Simulator
     from mind_tpu.sim.state_io import save_sim_state, load_sim_state
     from mind_tpu.planner.planner import ObsBuffer
-    from mind_tpu.sim.episode import run_episode
+    from mind_tpu.sim.episode import run_episode_timed
 
     BASELINE = 500.0 / 600.0  # reference ~10 min per 500-step demo
     ep_rows = []
@@ -62,10 +62,7 @@ def main():
             cfg.render = False
             sim = Simulator(cfg, max_steps=args.steps)
             sim.init_sim()
-            res = run_episode(sim)
-            t0 = time.perf_counter()
-            res = run_episode(sim)
-            wall = time.perf_counter() - t0
+            res, wall = run_episode_timed(sim)
             sps = len(res.ego_states) / wall
             row = {
                 "demo": demo, "ticks": len(res.ego_states),
@@ -80,7 +77,8 @@ def main():
             print(json.dumps(row), flush=True)
         os.makedirs(os.path.dirname(args.episode_json) or ".", exist_ok=True)
         with open(args.episode_json, "w") as f:
-            json.dump(ep_rows, f, indent=1)
+            json.dump({"steps": args.steps, "demos": args.demos,
+                       "rows": ep_rows}, f, indent=1)
         if args.mode == "episode":
             ok = all(r["ticks"] == args.steps and r["plan_failures"] == 0
                      for r in ep_rows)
@@ -89,7 +87,16 @@ def main():
 
     if not ep_rows and os.path.exists(args.episode_json):
         with open(args.episode_json) as f:
-            ep_rows = json.load(f)
+            saved = json.load(f)
+        # merge only a run of the SAME horizon and demo set — a leftover
+        # file from a different configuration (or the pre-stamp list
+        # format) would silently misrepresent the acceptance evidence
+        if (isinstance(saved, dict) and saved.get("steps") == args.steps
+                and saved.get("demos") == args.demos):
+            ep_rows = saved["rows"]
+        else:
+            print(f"ignoring stale {args.episode_json} "
+                  "(horizon/demos mismatch)")
 
     rows = []
     for d in args.demos.split(","):

@@ -27,9 +27,12 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from mind_tpu.utils.tpu_health import probe_once  # noqa: E402
+
 IDLE_SLEEP_S = 2400          # 40 min fully-idle between probes
 RECOVERY_SLEEP_S = 600       # after a step failure, before the next step
-PROBE_TIMEOUT_S = 180
 
 STEPS = [
     # two processes for the two demo modes: holding both executable sets in
@@ -48,19 +51,6 @@ STEPS = [
 
 def log(msg):
     print(f"[evidence {time.strftime('%H:%M:%S')}] {msg}", flush=True)
-
-
-def probe_once() -> bool:
-    code = ("import jax, jax.numpy as jnp; "
-            "x = jnp.ones((128,128), jnp.bfloat16); "
-            "print('PROBE_OK', float((x@x).sum()))")
-    try:
-        p = subprocess.run([sys.executable, "-c", code],
-                           stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                           timeout=PROBE_TIMEOUT_S)
-        return b"PROBE_OK" in p.stdout
-    except subprocess.TimeoutExpired:
-        return False
 
 
 def main():

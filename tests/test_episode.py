@@ -103,3 +103,52 @@ def test_episode_mc_segmented_invariant_to_seg_cycles():
         np.testing.assert_array_equal(a.plan_ok, b.plan_ok)
         np.testing.assert_allclose(a.ego_states, b.ego_states, atol=1e-9)
         np.testing.assert_allclose(a.controls, b.controls, atol=1e-9)
+
+
+def test_to_result_truncates_at_fail_cycle():
+    """A plan failure truncates the returned rollout at the failing cycle
+    (reference simulator.py:85-89 terminates on failure): the device
+    program's post-failure frozen-ego frames are neither trajectory data
+    nor countable throughput steps."""
+    from mind_tpu.sim.episode import TICKS_PER_PLAN, _to_result
+
+    class _Pl:
+        origin = np.zeros(2)
+
+    C = 4
+    rec = np.zeros((C, TICKS_PER_PLAN, 4))
+    ok = np.array([True, False, False, False])
+    planned = np.array([True, True, False, False])
+    res = _to_result(_Pl(), rec, ok, planned, np.zeros(C), np.zeros((C, 2)))
+    assert res.fail_cycle == 1
+    assert len(res.ego_states) == 2 * TICKS_PER_PLAN
+    assert res.plan_calls == 2
+
+    res = _to_result(_Pl(), rec, np.ones(C, bool), np.ones(C, bool),
+                     np.zeros(C), np.zeros((C, 2)))
+    assert res.fail_cycle == -1
+    assert len(res.ego_states) == C * TICKS_PER_PLAN
+
+
+def test_episode_signature_shared_across_demo_configs():
+    """demo_3's cost-weight override is runtime CostParams data, not program
+    structure — all four demo configs must map to ONE episode executable
+    cache key. Structural differences (grid geometry) must not."""
+    import dataclasses
+
+    from mind_tpu.common.kinematics import VehicleParam
+    from mind_tpu.sim.episode import _cfg_signature
+
+    class _P:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+    vp = VehicleParam()
+    sigs = {_cfg_signature(_P(planner_config_for_demo(f"demo_{d}")), vp, 0.02)
+            for d in (1, 2, 3, 4)}
+    assert len(sigs) == 1, "demo configs must share one episode executable"
+
+    other = planner_config_for_demo("demo_1")
+    other.traj_tree.full = dataclasses.replace(other.traj_tree.full,
+                                               smooth_grid_res=0.5)
+    assert _cfg_signature(_P(other), vp, 0.02) not in sigs
