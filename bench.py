@@ -455,7 +455,12 @@ def main():
             "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
             "detail": {"error": "TPU backend unavailable: health probe "
                                 "failed for 40 min (worker fault recovery "
-                                "window)"},
+                                "window)",
+                       "last_committed_hardware_numbers": {
+                           "where": "DEMOS_TPU.md / PARITY_TRACES.md "
+                                    "(TPU v5e-1, 2026-08-17)",
+                           "worst_demo_steps_per_s": 59.0,
+                           "worst_demo_vs_baseline": 70.8}},
         }))
         return
 
