@@ -92,7 +92,8 @@ def run_parity_demo(demo: str, max_steps: int,
 def run_parity_episode_playback(demo: str, max_steps: int,
                                 data_root: str = DATA_ROOT,
                                 enable_timestep: Optional[float] = None,
-                                solve_dtype: Optional[str] = None) -> dict:
+                                solve_dtype: Optional[str] = None,
+                                planner_cfg=None) -> dict:
     """Per-cycle resynced parity for the BENCHED path: the fused single-
     program episode (sim/episode.py — the configuration that produces the
     headline steps/s) vs the float64 reference-control-flow mirror.
@@ -122,7 +123,7 @@ def run_parity_episode_playback(demo: str, max_steps: int,
     cfg.render = False
     if enable_timestep is not None:  # short-horizon harness testing
         cfg.cl_agents[0].enable_timestep = enable_timestep
-    pcfg = planner_config_for_demo(demo)
+    pcfg = planner_cfg or planner_config_for_demo(demo)
     if solve_dtype is not None:
         pcfg.traj_tree.solve_dtype = solve_dtype
     sim = Simulator(cfg, max_steps=max_steps, planner_cfg=pcfg)

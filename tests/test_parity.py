@@ -91,3 +91,25 @@ def test_closed_loop_parity_demo1():
     assert r["host_failures"] == 0
     assert r["mean_cycle_dev"] <= 1e-3, r
     assert r["max_cycle_dev"] <= 5e-3, r
+
+
+@pytest.mark.slow
+def test_episode_playback_parity_demo1():
+    """The BENCHED path's certification harness end-to-end on a small
+    config: the fused-episode program's recorded per-cycle controls must
+    match the float64 reference-control-flow mirror re-planning from
+    IDENTICAL inputs (zero plan-success flips, per-cycle rollout deviation
+    within the 1e-3 budget). Guards the playback harness itself — the full
+    production-config run is scripts/parity_run.py on TPU."""
+    from mind_tpu.config import planner_config_for_demo
+    from mind_tpu.parity.runner import run_parity_episode_playback
+
+    pc = planner_config_for_demo("demo_1")
+    pc.net.n_scene_layer = 1
+    pc.net.n_fpn_scale = 2
+    pc.ckpt_path = None  # deterministic seeded weights
+    r = run_parity_episode_playback("demo_1", max_steps=30,
+                                    enable_timestep=0.0, planner_cfg=pc)
+    assert r["plans_compared"] >= 5
+    assert r["ok_mismatches"] == 0
+    assert r["mean_cycle_dev"] <= 1e-3, r
