@@ -341,6 +341,12 @@ def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
     """The jitted episode program for one planner configuration.
 
     batch='single': fn(params, inputs, statics);
+    batch='single_seg': unbatched, one SEGMENT of cycles with an explicit
+        carry — fn(params, inputs, statics, enable_tick, c0, carry). For
+        configurations whose per-cycle cost makes a whole-episode program
+        outlive the TPU execution watchdog (e.g. the strict
+        solve_dtype='float64' mode, whose emulated-f64 iLQR is ~an order
+        of magnitude slower per cycle);
     batch='scenarios': vmapped over leading axes of BOTH inputs and statics;
     batch='copies_seg': vmapped over inputs only (shared statics —
         Monte-Carlo), one SEGMENT of cycles with an explicit carry —
@@ -366,11 +372,13 @@ def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
                                           use_pallas_fusion=False)
             batched_apply = make_batched_apply(ScenePredNet(net_cfg), net_cfg)
     body = _make_core(planner, veh_param, dt, batched_apply,
-                      seg=batch == "copies_seg")
+                      seg=batch in ("copies_seg", "single_seg"))
     # enable_tick (and the segment's c0) are NEVER batched: enable_tick
     # drives the plan cond, which must stay uniform across vmap lanes (see
     # _build_cycle)
     if batch == "single":
+        fn = jax.jit(body)
+    elif batch == "single_seg":
         fn = jax.jit(body)
     elif batch == "scenarios":
         fn = jax.jit(jax.vmap(body, in_axes=(None, 0, 0, None)))
@@ -442,6 +450,40 @@ def run_episode_timed(sim, horizon: Optional[int] = None):
     t0 = time.perf_counter()
     res = run_episode(sim, horizon, inputs=inp)
     return res, time.perf_counter() - t0
+
+
+def run_episode_segmented(sim, horizon: Optional[int] = None,
+                          seg_cycles: int = 10,
+                          inputs: Optional[EpisodeInputs] = None
+                          ) -> EpisodeResult:
+    """`run_episode` in `seg_cycles`-cycle device programs.
+
+    Identical cycle program and result; the scan is cut into segments with
+    an explicit carry crossing the host boundary (one ~µs sync per segment
+    instead of one per episode). Use this when a single whole-episode
+    program could outlive the TPU runtime's execution watchdog (~8 min,
+    see `run_episode_monte_carlo`): measured in round 3, the strict
+    `solve_dtype='float64'` configuration — whose emulated-f64 iLQR is far
+    slower per cycle than the production f32 solve — faults the worker as
+    one 100-cycle program but completes segmented."""
+    from mind_tpu.sim.agents import MINDAgent
+
+    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
+    pl = ego.planner
+    inp = inputs if inputs is not None else build_episode_inputs(sim, horizon)
+    statics = build_episode_statics(pl)
+    fn = episode_fn_for(pl, ego.veh_param, sim.sim_step, batch="single_seg")
+    C = int(inp.slot_states.shape[0])
+    carry = _init_episode_carry(int(inp.types.shape[0]))
+    segs = []
+    for s0 in range(0, C, seg_cycles):
+        s1 = min(s0 + seg_cycles, C)
+        carry, out = fn(pl.params, _slice_cycles(inp, s0, s1), statics,
+                        inp.enable_tick, jnp.int32(s0), carry)
+        segs.append([np.asarray(o) for o in out])
+    outs = [np.concatenate([s[j] for s in segs], axis=0)
+            for j in range(len(segs[0]))]
+    return _to_result(pl, *outs)
 
 
 def _stack(items):

@@ -6,7 +6,8 @@ import pytest
 from mind_tpu.config import SimConfig, planner_config_for_demo
 from mind_tpu.sim.simulator import Simulator
 from mind_tpu.sim.episode import (build_episode_inputs, run_episode,
-                                  run_episode_monte_carlo)
+                                  run_episode_monte_carlo,
+                                  run_episode_segmented)
 
 DATA_ROOT = "/root/reference/data"
 
@@ -103,6 +104,25 @@ def test_episode_mc_segmented_invariant_to_seg_cycles():
         np.testing.assert_array_equal(a.plan_ok, b.plan_ok)
         np.testing.assert_allclose(a.ego_states, b.ego_states, atol=1e-9)
         np.testing.assert_allclose(a.controls, b.controls, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_episode_single_segmented_matches_one_program():
+    """The watchdog-safe segmented single-episode runner is pure
+    bookkeeping: same cycle program, same data, only the scan cut differs —
+    so its trajectory must match `run_episode`'s bit-for-bit. (The runner
+    exists for configurations whose whole-episode program outlives the TPU
+    execution watchdog, e.g. strict solve_dtype='float64'.)"""
+    steps = 30
+    sim = make_sim(steps)
+    full = run_episode(sim, steps)
+    # 4-cycle segments over 6 cycles: [4, 2] — covers the remainder segment
+    seg = run_episode_segmented(sim, steps, seg_cycles=4)
+    assert seg.fail_cycle == full.fail_cycle
+    assert seg.plan_calls == full.plan_calls
+    np.testing.assert_array_equal(seg.plan_ok, full.plan_ok)
+    np.testing.assert_allclose(seg.ego_states, full.ego_states, atol=1e-9)
+    np.testing.assert_allclose(seg.controls, full.controls, atol=1e-9)
 
 
 def test_to_result_truncates_at_fail_cycle():
