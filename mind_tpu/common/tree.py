@@ -38,9 +38,9 @@ class Tree:
             self.leaves.append(node.key)
             return
         if node.parent_key not in self.nodes:
-            raise KeyError("Parent does not exist.")
+            raise KeyError(f"unknown parent key {node.parent_key!r}")
         if node.key in self.nodes:
-            raise ValueError("Node key already exists.")
+            raise ValueError(f"duplicate node key {node.key!r}")
         parent = self.nodes[node.parent_key]
         parent.children_keys.append(node.key)
         if node.parent_key in self.leaves:
@@ -54,12 +54,12 @@ class Tree:
 
     def get_root(self) -> Node:
         if self.root is None:
-            raise KeyError("root node does not exist.")
+            raise KeyError("tree has no root yet")
         return self.nodes[self.root]
 
     def get_root_key(self):
         if self.root is None:
-            raise KeyError("root node does not exist.")
+            raise KeyError("tree has no root yet")
         return self.root
 
     def has_children(self, key) -> bool:
