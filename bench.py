@@ -11,29 +11,35 @@ just demo_1. One compiled episode program (statics are runtime arguments,
 sim/episode.py) serves all four demos.
 
 detail carries:
-- per-demo fused-episode steps/s (warm executable, second call timed);
+- per-demo fused-episode steps/s (warm executable);
 - the 4-demo batched episode (ONE vmapped device program, one host sync);
-- the 64-way Monte-Carlo episode batch (perturbed egos, shared statics);
+- a per-phase device-time breakdown of one plan cycle (AIME program, cost
+  topology, warm solve, full solve, selection) + network MFU: achieved
+  FLOP/s of the scene-prediction forward over the chip's bf16 peak
+  (v5e: 197 TFLOP/s);
+- the 64-way Monte-Carlo episode batch (perturbed egos, shared statics),
+  deadline-bounded — reports how many of the 64 copies completed;
 - host-loop mode on demo_1 (reference-shaped Simulator loop, warmed via
-  state-checkpoint rewind) for comparability with round-1/2 numbers;
-- a per-phase device-time breakdown of one plan cycle (network forward,
-  AIME program, cost topology, warm solve, full solve, selection, export);
-- network MFU: achieved FLOP/s of the scene-prediction forward over the
-  chip's bf16 peak (v5e: 197 TFLOP/s).
+  state-checkpoint rewind) for comparability with round-1/2 numbers.
 
-Compilation/cache-load is excluded everywhere: each program is timed on its
-second call (the persistent compile cache makes first calls cheap too).
+DEADLINE DISCIPLINE (the round-3 lesson: BENCH_r03 was rc=124/parsed=null —
+a benchmark of a 100x speedup must not itself time out): the whole run has a
+hard global budget (MIND_TPU_BENCH_BUDGET_S, default 19 min — the reference
+runs ONE demo in ~10). All sections run inside ONE child process (the
+backend initializes once, sims are built once and shared); the child streams
+one tagged result line per section, so a TPU-worker fault mid-run loses only
+the in-flight section — the parent restarts a child for the remaining
+sections if time allows. At the deadline the parent kills the child and
+emits the final JSON from whatever completed, marking the rest
+"skipped_deadline". The final line is ALWAYS printed.
 
-Every section runs in its OWN subprocess (`bench.py --section NAME`): a TPU
-worker fault (kernel fault / HBM exhaustion) in one section then kills only
-that section's process, the parent records the error, sleeps out the
-worker's recovery window, and the remaining sections still run with a fresh
-client. Without this, one fault poisons every later section in-process
-(observed in round 3's first bench attempt).
+Compilation/cache-load is excluded from timings: episode executables are
+warmed by one untimed run, micro-programs time their second call.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -41,6 +47,26 @@ import time
 BASELINE_STEPS_PER_SEC = 500.0 / 600.0
 V5E_PEAK_BF16 = 197e12
 DEMOS = ["demo_1", "demo_2", "demo_3", "demo_4"]
+
+BUDGET_S = float(os.environ.get("MIND_TPU_BENCH_BUDGET_S", 19 * 60))
+T_START = time.time()
+DEADLINE = T_START + BUDGET_S
+
+# least remaining seconds a section needs to be worth starting (measured on
+# the v5e tunnel, round 4); below this the child marks it skipped_deadline
+MIN_NEED_S = {
+    "per_demo_episode": 180,
+    "batched_episode": 100,
+    "phase_split": 150,
+    "monte_carlo_episode": 120,
+    "host_loop_demo_1": 90,
+}
+# order: headline first, host_loop last (it is the only section BENCH does
+# not strictly need — DEMOS_TPU.md carries the authoritative host-loop table)
+SECTION_ORDER = ["per_demo_episode", "batched_episode", "phase_split",
+                 "monte_carlo_episode", "host_loop_demo_1"]
+
+RESULT_TAG = "@@BENCH_SECTION@@ "
 
 
 def _timed(fn, *args):
@@ -50,10 +76,10 @@ def _timed(fn, *args):
 
 
 def _progress(name, payload):
-    """Per-section progress on stderr (stdout carries ONE final JSON line);
+    """Per-section progress on stderr (stdout carries the protocol lines);
     a crash mid-bench then still leaves every finished section on record."""
-    print(f"[bench] {name}: {json.dumps(payload)}", file=sys.stderr,
-          flush=True)
+    print(f"[bench +{time.time() - T_START:.0f}s] {name}: "
+          f"{json.dumps(payload)}", file=sys.stderr, flush=True)
 
 
 def bench_network(pl):
@@ -236,30 +262,46 @@ def _init_jax():
     return jax
 
 
-def _build_sims(demos):
+# sims are expensive to build (parquet parse + semantic map + lane graph);
+# the child process builds each demo's sim ONCE and shares it across
+# sections. Sections that MUTATE sim/planner state (host loop, phase split)
+# must ask for a fresh build.
+_SIM_CACHE: dict = {}
+
+
+def _build_sims(demos, fresh=False):
     from mind_tpu.config import SimConfig
     from mind_tpu.sim.simulator import Simulator
 
     root = os.path.dirname(os.path.abspath(__file__))
     sims = []
     for demo in demos:
+        if not fresh and demo in _SIM_CACHE:
+            sims.append(_SIM_CACHE[demo])
+            continue
         cfg = SimConfig.from_json(os.path.join(root, f"configs/{demo}.json"),
                                   data_root="/root/reference/data")
         cfg.render = False
         sim = Simulator(cfg)
         sim.init_sim()
+        if not fresh:
+            _SIM_CACHE[demo] = sim
         sims.append(sim)
     return sims
 
 
 def section_per_demo():
-    """Fused episode, per demo (ONE compiled program serves all four)."""
-    _init_jax()
-    from mind_tpu.sim.episode import run_episode_timed
+    """Fused episode, per demo. The executable is warmed ONCE (untimed
+    demo_1 run — all four demos share the one compiled program); each demo
+    is then timed on a single warm-executable call."""
+    from mind_tpu.sim.episode import build_episode_inputs, run_episode
 
     per_demo = {}
-    for demo, sim in zip(DEMOS, _build_sims(DEMOS)):
-        res, wall = run_episode_timed(sim)
+    sims = _build_sims(DEMOS)
+    run_episode(sims[0])  # warm: compile/cache-load absorbed here
+    for demo, sim in zip(DEMOS, sims):
+        inp = build_episode_inputs(sim)
+        res, wall = _timed(run_episode, sim, None, inp)
         assert res.fail_cycle == -1, f"{demo}: plan failure {res.fail_cycle}"
         sps = len(res.ego_states) / wall
         per_demo[demo] = {
@@ -274,7 +316,6 @@ def section_per_demo():
 
 def section_batched():
     """4-demo batched episode: one vmapped program, one host sync."""
-    _init_jax()
     from mind_tpu.sim.episode import run_episodes_batched
 
     sims = _build_sims(DEMOS)
@@ -290,19 +331,23 @@ def section_batched():
     }
 
 
-def section_mc():
-    """64-way Monte-Carlo episode batch on demo_1."""
-    _init_jax()
+def section_mc(section_deadline=None):
+    """64-way Monte-Carlo episode batch on demo_1, deadline-bounded: the
+    sweep stops issuing chunks at the deadline and reports the copies that
+    actually completed (scripts/bench_mc.py records the full unbounded 64)."""
     from mind_tpu.sim.episode import run_episode_monte_carlo
 
     sim = _build_sims(DEMOS[:1])[0]
     # one-chunk warm run loads the (persistent-cached) executable; the
-    # timed 64-copy run then measures warm chunk executions
+    # timed run then measures warm chunk executions
     _timed(run_episode_monte_carlo, sim, 4)
-    mc, wall_mc = _timed(run_episode_monte_carlo, sim, 64)
+    t0 = time.perf_counter()
+    mc = run_episode_monte_carlo(sim, 64, deadline=section_deadline)
+    wall_mc = time.perf_counter() - t0
     mc_total = sum(len(r.ego_states) for r in mc)
     return {
-        "copies": 64,
+        "copies": len(mc),
+        "copies_requested": 64,
         "eff_steps_per_s": round(mc_total / wall_mc, 2),
         "vs_baseline": round(mc_total / wall_mc / BASELINE_STEPS_PER_SEC, 2),
         "wall_s": round(wall_mc, 2),
@@ -333,8 +378,7 @@ def _warm_host_loop(sim, av):
 
 def section_host_loop():
     """Host-loop mode on demo_1 (round-1/2 comparable numbers)."""
-    _init_jax()
-    sim = _build_sims(DEMOS[:1])[0]
+    sim = _build_sims(DEMOS[:1], fresh=True)[0]
     av = next(a for a in sim.agents if a.id == "AV")
     av.planner.export_trees = False
     _warm_host_loop(sim, av)
@@ -356,8 +400,7 @@ def section_host_loop():
 def section_phase_split():
     """Per-phase device-time split + network MFU. Runs a short host loop
     first so the planner holds a real demo_1 plan state."""
-    _init_jax()
-    sim = _build_sims(DEMOS[:1])[0]
+    sim = _build_sims(DEMOS[:1], fresh=True)[0]
     av = next(a for a in sim.agents if a.id == "AV")
     av.planner.export_trees = True
     av.set_enable_timestep(0.0)
@@ -372,49 +415,81 @@ def section_phase_split():
 
 
 SECTIONS = {
-    # MC last: its perturbed starts hit data-dependent max-iteration
-    # cycles, making it the slowest / most timeout-prone section
     "per_demo_episode": section_per_demo,
     "batched_episode": section_batched,
-    "host_loop_demo_1": section_host_loop,
     "phase_split": section_phase_split,
     "monte_carlo_episode": section_mc,
+    "host_loop_demo_1": section_host_loop,
 }
-SECTION_TIMEOUT_S = {
-    "per_demo_episode": 2400,
-    "batched_episode": 1200,
-    # MC is data-dependently slow (hard perturbed cycles run the iLQR to
-    # max iterations) and runs last, so a generous cap risks nothing else
-    "monte_carlo_episode": 3600,
-    "host_loop_demo_1": 1200,
-    "phase_split": 1200,
-}
+
 # a TPU-worker fault leaves the chip unusable for a few minutes; wait this
-# long before the next section / retry (measured recovery ~5-10 min)
-RECOVERY_SLEEP_S = 420
-RESULT_TAG = "@@BENCH_SECTION@@ "
+# long (budget permitting) before restarting the child
+RECOVERY_SLEEP_S = 300
 
 
-def _run_section_subprocess(name):
-    """One section in its own process: a TPU-worker crash kills only this
-    section and the next one starts with a fresh client. Returns (ok, dict);
-    subprocess stderr (the _progress lines) passes through."""
-    import subprocess
+def _run_child(sections, deadline):
+    """Child mode: run `sections` in order inside ONE process (one backend
+    init, shared sims), emitting a tagged JSON line per section as it
+    finishes. Sections that would not fit before `deadline` are marked
+    skipped. A TPU fault kills the child; everything already printed
+    survives."""
+    _init_jax()
+    for name in sections:
+        remaining = deadline - time.time()
+        if remaining < MIN_NEED_S[name]:
+            print(RESULT_TAG + json.dumps(
+                {"section": name,
+                 "result": {"error": "skipped_deadline",
+                            "remaining_s": round(remaining)}}), flush=True)
+            continue
+        try:
+            if name == "monte_carlo_episode":
+                # leave headroom for the final result line + flush
+                out = SECTIONS[name](section_deadline=deadline - 30)
+            else:
+                out = SECTIONS[name]()
+        except Exception as e:  # keep later sections alive
+            out = {"error": f"{type(e).__name__}: {e}"}
+        print(RESULT_TAG + json.dumps({"section": name, "result": out}),
+              flush=True)
+        _progress(name, out)
 
-    cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
-    try:
-        proc = subprocess.run(cmd, stdout=subprocess.PIPE,
-                              timeout=SECTION_TIMEOUT_S[name])
-    except subprocess.TimeoutExpired:
-        return False, {"error": f"section timeout {SECTION_TIMEOUT_S[name]}s"}
-    out = proc.stdout.decode(errors="replace")
-    for line in out.splitlines():
-        if line.startswith(RESULT_TAG):
-            return True, json.loads(line[len(RESULT_TAG):])
-    return False, {"error": f"exit {proc.returncode}, no result line"}
+
+def _spawn_child(sections, deadline):
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           "--sections", ",".join(sections),
+           "--deadline", str(deadline)]
+    return subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
 
 
-def _wait_for_tpu(max_wait_s=2400):
+def _drain_child(proc, results):
+    """Stream the child's stdout into `results` until it exits or the
+    global deadline passes (then kill it). Returns True if the child exited
+    cleanly."""
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    while True:
+        timeout = DEADLINE - time.time()
+        if timeout <= 0:
+            proc.kill()
+            proc.wait()
+            return False
+        events = sel.select(timeout=min(timeout, 10.0))
+        if events:
+            line = proc.stdout.readline()
+            if line == "":  # EOF: child exited
+                proc.wait()
+                return proc.returncode == 0
+            if line.startswith(RESULT_TAG):
+                rec = json.loads(line[len(RESULT_TAG):])
+                results[rec["section"]] = rec["result"]
+        elif proc.poll() is not None:
+            return proc.returncode == 0
+
+
+def _wait_for_tpu(max_wait_s):
     """Gate the bench on a healthy device: after a worker fault the chip
     needs a long IDLE recovery window during which clients hang in backend
     init or fail to initialize — and repeated probing appears to RESET that
@@ -434,59 +509,21 @@ def _wait_for_tpu(max_wait_s=2400):
             _progress("tpu_probe", {"ok": False, "attempt": attempt,
                                     "waited_s": round(waited)})
             return False
+        retry = min(1200.0, max(30.0, max_wait_s - waited))
         _progress("tpu_probe", {"ok": False, "attempt": attempt,
-                                "retry_in_s": 1200})
-        time.sleep(1200)
+                                "retry_in_s": round(retry)})
+        time.sleep(retry)
 
 
-def main():
-    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
-        out = SECTIONS[sys.argv[2]]()
-        print(RESULT_TAG + json.dumps(out), flush=True)
-        return
-
-    if not _wait_for_tpu():
-        # dead chip: emit the one JSON line immediately instead of grinding
-        # through hours of per-section subprocess timeouts
-        print(json.dumps({
-            "metric": "four-demo closed-loop sim throughput, worst demo "
-                      "(500 steps each, TPU v5e-1, fused episode, one "
-                      "program)",
-            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
-            "detail": {"error": "TPU backend unavailable: health probe "
-                                "failed for 40 min (worker fault recovery "
-                                "window)",
-                       "last_committed_hardware_numbers": {
-                           "where": "DEMOS_TPU.md / PARITY_TRACES.md "
-                                    "(TPU v5e-1, 2026-08-17)",
-                           "worst_demo_steps_per_s": 59.0,
-                           "worst_demo_vs_baseline": 70.8}},
-        }))
-        return
-
-    results = {}
-    failed_prev = False
-    for name in SECTIONS:
-        if failed_prev:
-            _progress("recovery", {"sleep_s": RECOVERY_SLEEP_S,
-                                   "before": name})
-            time.sleep(RECOVERY_SLEEP_S)
-        ok, out = _run_section_subprocess(name)
-        if not ok:  # one retry after letting the worker recover
-            _progress(name, {**out, "retrying": True})
-            time.sleep(RECOVERY_SLEEP_S)
-            ok, out = _run_section_subprocess(name)
-        failed_prev = not ok
-        results[name] = out
-        _progress(name, out)
-
-    per_demo = results["per_demo_episode"]
-    phases = results["phase_split"]
-    if "error" in per_demo:
-        worst = {"steps_per_s": 0.0, "vs_baseline": 0.0}
+def _final_json(results):
+    per_demo = results.get("per_demo_episode", {"error": "missing"})
+    phases = results.get("phase_split", {"error": "missing"})
+    demo_rows = {k: v for k, v in per_demo.items() if k in DEMOS}
+    if demo_rows:
+        worst = min(demo_rows.values(), key=lambda d: d["steps_per_s"])
     else:
-        worst = min(per_demo.values(), key=lambda d: d["steps_per_s"])
-    result = {
+        worst = {"steps_per_s": 0.0, "vs_baseline": 0.0}
+    return {
         "metric": "four-demo closed-loop sim throughput, worst demo "
                   "(500 steps each, TPU v5e-1, fused episode, one program)",
         "value": worst["steps_per_s"],
@@ -494,15 +531,69 @@ def main():
         "vs_baseline": worst["vs_baseline"],
         "detail": {
             "per_demo_episode": per_demo,
-            "batched_episode": results["batched_episode"],
-            "monte_carlo_episode": results["monte_carlo_episode"],
-            "host_loop_demo_1": results["host_loop_demo_1"],
+            "batched_episode": results.get(
+                "batched_episode", {"error": "skipped_deadline"}),
+            "monte_carlo_episode": results.get(
+                "monte_carlo_episode", {"error": "skipped_deadline"}),
+            "host_loop_demo_1": results.get(
+                "host_loop_demo_1", {"error": "skipped_deadline"}),
             "phase_mean_ms": phases,
             "mfu": phases.get("net_mfu_bf16_peak"),
             "net_flops_per_fwd_b8": phases.get("net_flops_per_fwd"),
+            "wall_s_total": round(time.time() - T_START, 1),
         },
     }
-    print(json.dumps(result))
+
+
+def main():
+    if "--section" in sys.argv:  # manual single-section mode
+        name = sys.argv[sys.argv.index("--section") + 1]
+        _init_jax()
+        if name == "monte_carlo_episode":
+            out = SECTIONS[name](section_deadline=None)
+        else:
+            out = SECTIONS[name]()
+        print(RESULT_TAG + json.dumps({"section": name, "result": out}),
+              flush=True)
+        return
+
+    if "--child" in sys.argv:
+        sections = sys.argv[sys.argv.index("--sections") + 1].split(",")
+        deadline = float(sys.argv[sys.argv.index("--deadline") + 1])
+        _run_child(sections, deadline)
+        return
+
+    results = {}
+    try:
+        if not _wait_for_tpu(max_wait_s=min(BUDGET_S * 0.5, 1500)):
+            # dead chip: emit the one JSON line immediately instead of
+            # grinding through the section budget against a dead backend
+            results["per_demo_episode"] = {
+                "error": "TPU backend unavailable: health probe failed "
+                         "(worker fault recovery window)"}
+            return
+
+        while True:
+            todo = [s for s in SECTION_ORDER if s not in results]
+            if not todo or time.time() >= DEADLINE:
+                break
+            proc = _spawn_child(todo, DEADLINE)
+            clean = _drain_child(proc, results)
+            if clean:
+                break
+            # child died (TPU fault): let the worker recover if time allows,
+            # then restart for whatever sections are still missing
+            still = [s for s in SECTION_ORDER if s not in results]
+            if not still:
+                break
+            sleep_s = min(RECOVERY_SLEEP_S, DEADLINE - time.time() - 120)
+            if sleep_s <= 0:
+                break
+            _progress("recovery", {"sleep_s": round(sleep_s),
+                                   "missing": still})
+            time.sleep(sleep_s)
+    finally:
+        print(json.dumps(_final_json(results)), flush=True)
 
 
 if __name__ == "__main__":

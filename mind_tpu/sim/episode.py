@@ -37,6 +37,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import time
 from typing import List, NamedTuple, Optional
 
 import numpy as np
@@ -376,9 +377,7 @@ def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
     # enable_tick (and the segment's c0) are NEVER batched: enable_tick
     # drives the plan cond, which must stay uniform across vmap lanes (see
     # _build_cycle)
-    if batch == "single":
-        fn = jax.jit(body)
-    elif batch == "single_seg":
+    if batch in ("single", "single_seg"):
         fn = jax.jit(body)
     elif batch == "scenarios":
         fn = jax.jit(jax.vmap(body, in_axes=(None, 0, 0, None)))
@@ -417,6 +416,17 @@ def _to_result(pl, rec, ok, planned, iters, ctrls) -> EpisodeResult:
     )
 
 
+def _episode_setup(sim, horizon, inputs):
+    """Shared run_episode/run_episode_segmented setup: locate the MIND ego,
+    build (or reuse) the schedule, and collect the per-scenario statics."""
+    from mind_tpu.sim.agents import MINDAgent
+
+    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
+    pl = ego.planner
+    inp = inputs if inputs is not None else build_episode_inputs(sim, horizon)
+    return ego, pl, inp, build_episode_statics(pl)
+
+
 def run_episode(sim, horizon: Optional[int] = None,
                 inputs: Optional[EpisodeInputs] = None) -> EpisodeResult:
     """Run one scenario's closed loop as a single device program.
@@ -427,12 +437,7 @@ def run_episode(sim, horizon: Optional[int] = None,
     `inputs` optionally reuses a schedule from `build_episode_inputs(sim,
     horizon)` (callers that need the schedule themselves — e.g. the parity
     playback harness — avoid building and uploading it twice)."""
-    from mind_tpu.sim.agents import MINDAgent
-
-    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
-    pl = ego.planner
-    inp = inputs if inputs is not None else build_episode_inputs(sim, horizon)
-    statics = build_episode_statics(pl)
+    ego, pl, inp, statics = _episode_setup(sim, horizon, inputs)
     fn = episode_fn_for(pl, ego.veh_param, sim.sim_step)
     out = fn(pl.params, inp, statics, inp.enable_tick)
     return _to_result(pl, *out)
@@ -466,12 +471,8 @@ def run_episode_segmented(sim, horizon: Optional[int] = None,
     `solve_dtype='float64'` configuration — whose emulated-f64 iLQR is far
     slower per cycle than the production f32 solve — faults the worker as
     one 100-cycle program but completes segmented."""
-    from mind_tpu.sim.agents import MINDAgent
-
-    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
-    pl = ego.planner
-    inp = inputs if inputs is not None else build_episode_inputs(sim, horizon)
-    statics = build_episode_statics(pl)
+    assert seg_cycles >= 1, f"seg_cycles must be >= 1, got {seg_cycles}"
+    ego, pl, inp, statics = _episode_setup(sim, horizon, inputs)
     fn = episode_fn_for(pl, ego.veh_param, sim.sim_step, batch="single_seg")
     C = int(inp.slot_states.shape[0])
     carry = _init_episode_carry(int(inp.types.shape[0]))
@@ -626,8 +627,15 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
                             vel_sigma: float = 0.25, seed: int = 0,
                             horizon: Optional[int] = None,
                             chunk: int = 4,
-                            seg_cycles: int = 10) -> List[EpisodeResult]:
+                            seg_cycles: int = 10,
+                            deadline: Optional[float] = None
+                            ) -> List[EpisodeResult]:
     """K Monte-Carlo perturbed closed-loop episodes, vmapped on device.
+
+    `deadline` (epoch seconds) optionally bounds the sweep: no new chunk is
+    dispatched past it, and the completed copies are returned (callers
+    report len(results) as the copies actually run). Chunks that already
+    started still finish — the bound is best-effort, not preemptive.
 
     Lanes run in chunks of `chunk` copies per device program: each plan
     cycle's batched network forward materializes a [lanes*B, N, N, D] fusion
@@ -649,6 +657,7 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
     syncs per chunk."""
     from mind_tpu.sim.agents import MINDAgent
 
+    assert seg_cycles >= 1, f"seg_cycles must be >= 1, got {seg_cycles}"
     ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
     pl = ego.planner
     inp_b = build_mc_inputs(sim, k, pos_sigma, vel_sigma, seed, horizon)
@@ -658,6 +667,8 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
     A = int(inp_b.types.shape[-2])  # types is [K, A, 7] after _stack
     results: List[EpisodeResult] = []
     for lo in range(0, k, chunk):
+        if deadline is not None and results and time.time() > deadline:
+            break
         hi = min(lo + chunk, k)
         inp_c = jax.tree.map(lambda x: x[lo:hi], inp_b)
         carry = jax.tree.map(

@@ -102,8 +102,8 @@ def test_episode_mc_segmented_invariant_to_seg_cycles():
     assert [r.fail_cycle for r in seg] == [r.fail_cycle for r in full]
     for a, b in zip(seg, full):
         np.testing.assert_array_equal(a.plan_ok, b.plan_ok)
-        np.testing.assert_allclose(a.ego_states, b.ego_states, atol=1e-9)
-        np.testing.assert_allclose(a.controls, b.controls, atol=1e-9)
+        np.testing.assert_array_equal(a.ego_states, b.ego_states)
+        np.testing.assert_array_equal(a.controls, b.controls)
 
 
 @pytest.mark.slow
@@ -121,8 +121,8 @@ def test_episode_single_segmented_matches_one_program():
     assert seg.fail_cycle == full.fail_cycle
     assert seg.plan_calls == full.plan_calls
     np.testing.assert_array_equal(seg.plan_ok, full.plan_ok)
-    np.testing.assert_allclose(seg.ego_states, full.ego_states, atol=1e-9)
-    np.testing.assert_allclose(seg.controls, full.controls, atol=1e-9)
+    np.testing.assert_array_equal(seg.ego_states, full.ego_states)
+    np.testing.assert_array_equal(seg.controls, full.controls)
 
 
 def test_to_result_truncates_at_fail_cycle():
