@@ -371,7 +371,8 @@ def _warm_host_loop(sim, av):
     av.is_enable = False
     av.last_pl_tri = None
     av.planner.obs_buffer = ObsBuffer(av.planner.cfg.max_actors,
-                                      origin=av.planner.origin)
+                                      origin=av.planner.origin,
+                                      dtype=av.planner.cfg.pipeline_dtype)
     av.planner.metrics.timer.reset()
     sim.sim_horizon = sim.config.sim_horizon
 

@@ -127,6 +127,15 @@ class TrajTreeConfig:
     # parity — matches the f64 reference mirror's solver, removing
     # tree-selection flips at near-tied candidate trees)
     solve_dtype: str = "float32"
+    # execution precision: after the best tree is selected from the
+    # `solve_dtype` solves, the WINNER is re-solved from scratch at this
+    # dtype and its first control is what the vehicle executes. "float64"
+    # reproduces the f64 mirror's two-phase iteration path on one tree
+    # (executed control mirror-exact whenever the selection agrees), at a
+    # fraction of strict mode's cost (1 tree instead of 6, winner's own
+    # iteration count instead of the vmapped max). Set equal to solve_dtype
+    # to disable the re-solve.
+    exec_solve_dtype: str = "float64"
     n_line_search: int = 10
     max_reg: float = 1e10
     # fixed-width limits for the batched tree solve (new)
@@ -155,6 +164,15 @@ class PlannerConfig:
     # bundled demos (<=45 tracks, <=71 lane-graph segments)
     max_actors: int = 48
     max_lanes: int = 80
+    # AIME pipeline precision: dtype of the observation window, scene prep,
+    # and decoded trajectory slots. "float64" runs the whole decision
+    # pipeline at the f64 reference mirror's precision (bit-equal network
+    # inputs -> bit-equal prune/merge/branch quantities given equal network
+    # outputs); "float32" keeps the bulk tensors in the chip-native dtype —
+    # probabilities, covariance accumulation, renormalization and the
+    # tree-selection cost stay f64 either way (they are cheap scalars/small
+    # tensors and carry the discrete decisions; see PARITY.md)
+    pipeline_dtype: str = "float64"
 
 
 @dataclass

@@ -119,7 +119,9 @@ def _kernel(node_ref, edge_ref, mask_ref,
         eu = jax.nn.relu(_ln(eu, lne1_g_ref[0], lne1_b_ref[0]))
         edge_out_ref[:] = _ln(edge_t + eu, lne2_g_ref[0], lne2_b_ref[0])
     else:
-        edge_out_ref[:] = edge_t
+        # the input edge may arrive bf16 (first layer under a bf16 compute
+        # dtype); the passthrough still writes the f32 output ref
+        edge_out_ref[:] = edge_t.astype(edge_out_ref.dtype)
 
     q = (jnp.dot(tar, wq_ref[:], preferred_element_type=f32) + bq_ref[0])
     k = (jnp.dot(mem.reshape(N * tj, D), wk_ref[:],

@@ -89,7 +89,7 @@ class MonteCarloSim:
         # batched obs buffer [K, A, ...]
         self.buf = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (k,) + x.shape).copy(),
-            DeviceObsBuffer.create(A))
+            DeviceObsBuffer.create(A, jnp.dtype(pc.pipeline_dtype)))
         self._update_fn = jax.jit(
             jax.vmap(obs_buffer_update, in_axes=(0, 0, None)))
 

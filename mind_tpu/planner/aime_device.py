@@ -69,6 +69,8 @@ def obs_buffer_update(buf: DeviceObsBuffer, states: jnp.ndarray,
     """Shift the window and append one frame. states [A, 4] = [x, y, v, yaw]
     per slot; present [A] marks slots observed this trigger. Absent slots
     repeat their previous frame unobserved (reference planner.py:85-91)."""
+    states = states.astype(buf.pos.dtype)  # host streams f64; buffer decides
+
     def roll(x):
         return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
 
@@ -136,14 +138,19 @@ def _init_tree_state(cfg, max_actors: int, dtype) -> DeviceTreeState:
         pos=jnp.zeros((MN, A, SEQ_LEN, 2), dtype),
         ang=jnp.zeros((MN, A, SEQ_LEN), dtype),
         vel=jnp.zeros((MN, A, SEQ_LEN, 2), dtype),
-        cov=jnp.full((MN, A, SEQ_LEN), 1e-5, dtype),
+        # covariance stays f64 regardless of the pipeline dtype: it carries
+        # the branch-time ratio and target-distance prune decisions and is a
+        # scalar track per agent (negligible cost; see PlannerConfig)
+        cov=jnp.full((MN, A, SEQ_LEN), 1e-5, jnp.float64),
         tgt_pts=jnp.zeros((MN, 11, 2), dtype),
     )
     return DeviceTreeState(
         slots=slots,
         parent=jnp.full((MN,), -1, jnp.int32),
         depth=jnp.zeros((MN,), jnp.int32),
-        prob=jnp.zeros((MN,), dtype).at[0].set(1.0),
+        # path probability stays f64: the prune threshold compare and the
+        # renormalization are decisions (reference scenario_tree.py:369-370)
+        prob=jnp.zeros((MN,), jnp.float64).at[0].set(1.0),
         start_t=jnp.zeros((MN,), jnp.int32),
         duration=jnp.zeros((MN,), jnp.int32),
         end_flag=jnp.zeros((MN,), bool),
@@ -165,9 +172,9 @@ def aime_grow_tree(params, batched_apply, cfg: PlannerConfig,
     A = actor_mask.shape[0]
     M = cfg.net.num_modes
 
-    dtype = buf.pos.dtype  # f64 decision precision (see DeviceObsBuffer)
+    dtype = buf.pos.dtype  # pipeline dtype (see PlannerConfig.pipeline_dtype)
     root_pos, root_ang, root_vel, root_obs = nn_fill_window(buf)
-    root_cov = jnp.full((A, OBS_LEN), 1e-5, dtype)
+    root_cov = jnp.full((A, OBS_LEN), 1e-5, jnp.float64)
 
     state = _init_tree_state(cfg, A, dtype)
 
@@ -292,9 +299,9 @@ def aime_grow_tree(params, batched_apply, cfg: PlannerConfig,
     end = end & state.active
 
     # --- renormalized probabilities over end-flagged children, per level ---
-    norm = jnp.zeros((MN,), dtype).at[0].set(1.0)
+    norm = jnp.zeros((MN,), jnp.float64).at[0].set(1.0)
     contrib = jnp.where(end, state.prob, 0.0)
-    totals = jnp.zeros((MN + 1,), dtype).at[safe_par].add(contrib)
+    totals = jnp.zeros((MN + 1,), jnp.float64).at[safe_par].add(contrib)
     for d in range(1, scen.max_depth + 1):
         at_d = state.active & end & (state.depth == d)
         par = jnp.where(at_d, state.parent, 0)

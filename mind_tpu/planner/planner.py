@@ -63,6 +63,26 @@ TYPE_ORDER = [
 ]
 
 
+def exec_resolve_ctrl(slots, norm_prob, amask, dct, best, x0,
+                      warm_params, full_params, ilqr_cfg, warm_ilqr_cfg,
+                      exec_dtype):
+    """Re-solve the SELECTED tree from scratch at `exec_dtype` and return its
+    first control (TrajTreeConfig.exec_solve_dtype). Selection ran on the
+    fast f32 solves; execution reproduces the f64 mirror's two-phase
+    iteration path (reference planner.py:174-178) on the one tree that
+    matters, so the executed control is mirror-exact whenever the selection
+    agrees — at ~1/6 of strict mode's f64-solve cost."""
+    topo_best = jax.tree.map(lambda x: x[best], dct.topo)
+    nodes_e = gather_cost_nodes(slots, norm_prob, dct.cost_slot[best],
+                                dct.cost_step[best], topo_best.node_mask,
+                                amask, dtype=exec_dtype)
+    dts = str(exec_dtype)
+    xs_e, _, _ = two_phase_solve(
+        topo_best, x0, nodes_e, warm_params, full_params,
+        ilqr_cfg._replace(dtype=dts), warm_ilqr_cfg._replace(dtype=dts))
+    return xs_e[0, 4:6].astype(jnp.float32)
+
+
 def fused_plan_core(params, buf, types, amask, x0, warm_params, full_params,
                     target_vel, lane_static, tgt_static, eval_segs, *,
                     batched_apply, cfg, ilqr_cfg, warm_ilqr_cfg, weights):
@@ -96,6 +116,11 @@ def fused_plan_core(params, buf, types, amask, x0, warm_params, full_params,
     cost_b = jnp.where(dct.tree_mask, cost_b, jnp.inf)
     best = jnp.argmin(cost_b)
     ctrl = ctrl_b[best].astype(jnp.float32)  # f64 under solve_dtype=float64
+    ed = jnp.dtype(cfg.traj_tree.exec_solve_dtype)
+    if ed != sd:  # static: compiled in only when the re-solve is enabled
+        ctrl = exec_resolve_ctrl(
+            state.slots, meta.norm_prob, amask, dct, best, x0,
+            warm_params, full_params, ilqr_cfg, warm_ilqr_cfg, ed)
     ok = (dct.n_trees > 0).astype(jnp.float32)
     return jnp.concatenate([
         ctrl, jnp.array([ok], jnp.float32),
@@ -123,14 +148,15 @@ class ObsBuffer:
     scenarios per trigger instead of S eager dispatches."""
 
     def __init__(self, max_actors: int, device_updates: bool = True,
-                 origin: Optional[np.ndarray] = None):
+                 origin: Optional[np.ndarray] = None,
+                 dtype: str = "float64"):
         self.A = max_actors
         self.origin = origin  # local planning frame (see MINDPlanner)
         self.slots: Dict[str, int] = {}
         self.types = np.zeros((max_actors, 7), np.float32)
         self.active = np.zeros(max_actors, bool)
         self.last_present = np.zeros(max_actors, bool)
-        self.buf = DeviceObsBuffer.create(max_actors)
+        self.buf = DeviceObsBuffer.create(max_actors, jnp.dtype(dtype))
         self._update_fn = jax.jit(obs_buffer_update)
         self.device_updates = device_updates
         self.pending = None
@@ -209,7 +235,7 @@ class MINDPlanner:
         self.state: Optional[np.ndarray] = None
         self.ctrl: Optional[np.ndarray] = None
         self.gt_tgt_lane: Optional[np.ndarray] = None
-        self.obs_buffer = ObsBuffer(cfg.max_actors)
+        self.obs_buffer = ObsBuffer(cfg.max_actors, dtype=cfg.pipeline_dtype)
         self.metrics = Metrics()
         self.export_trees = export_trees
 
@@ -245,9 +271,10 @@ class MINDPlanner:
         assert n <= L, f"{n} lane segments exceed max_lanes={L}"
         node_feats = np.zeros((L, 10, 16), np.float32)
         node_feats[:n] = feats
-        # anchors in float64: they enter the f64 scene prep (and through it
-        # the network-input f32 cast + decision pipeline) at the same
-        # precision the float64 mirror uses
+        # anchors at the PIPELINE dtype: under 'float64' they enter the scene
+        # prep (and through it the network-input f32 cast + decision
+        # pipeline) at the same precision the float64 mirror uses
+        pdt = jnp.dtype(cfg.pipeline_dtype)
         anchors = np.zeros((L, 2), np.float64)
         anchors[:n] = graph["lane_ctrs"] - self.origin
         vecs = np.tile(np.array([1.0, 0.0], np.float64), (L, 1))
@@ -256,8 +283,8 @@ class MINDPlanner:
         mask[:n] = True
         self.lane_static = LaneGraphStatic(
             node_feats=jnp.asarray(node_feats),
-            anchors_g=jnp.asarray(anchors),
-            anchor_vecs_g=jnp.asarray(vecs),
+            anchors_g=jnp.asarray(anchors, pdt),
+            anchor_vecs_g=jnp.asarray(vecs, pdt),
             mask=jnp.asarray(mask),
         )
 
@@ -278,7 +305,7 @@ class MINDPlanner:
         tm = np.zeros(P, bool)
         tm[:len(pts)] = True
         self.tgt_static = TargetLaneStatic(
-            points=jnp.asarray(tp), info=jnp.asarray(ti),
+            points=jnp.asarray(tp, pdt), info=jnp.asarray(ti, pdt),
             mask=jnp.asarray(tm), n_points=jnp.int32(len(pts)))
 
         # evaluation lane (unresampled target lane, planner.py:200-205);
@@ -366,6 +393,17 @@ class MINDPlanner:
             best = jnp.argmin(cost_b)
             # control = first cost node's [accel, steer] (planner.py:141-144)
             ctrl = xs_b[best, 0, 4:6].astype(jnp.float32)
+            ed = jnp.dtype(cfg.traj_tree.exec_solve_dtype)
+            if ed != sd:
+                from mind_tpu.planner.cost_topology import DeviceCostTrees
+
+                dct_like = DeviceCostTrees(
+                    topo=topo_b, cost_slot=cost_slot_b, cost_step=cost_step_b,
+                    tree_mask=tree_mask, n_trees=jnp.sum(tree_mask))
+                ctrl = exec_resolve_ctrl(
+                    slots, norm_prob, amask, dct_like, best, x0,
+                    warm_params, full_params, self.ilqr_cfg,
+                    self.warm_ilqr_cfg, ed)
             # everything the host needs, in one small pull
             packed = jnp.concatenate([
                 ctrl,
@@ -409,12 +447,12 @@ class MINDPlanner:
         return self._cost_params_cache
 
     def _field_offset(self, state: np.ndarray):
-        """Grid origin from a LOCAL-frame state (solve precision)."""
+        """Grid origin from a LOCAL-frame state (f64, the mirror's
+        precision; two_phase_solve casts cost params to the solve dtype)."""
         ph = self.cfg.traj_tree.full
         n, _ = ph.smooth_grid_size
         half = 0.5 * (n - 1) * ph.smooth_grid_res
-        return jnp.asarray([state[0] - half, state[1] - half],
-                           jnp.dtype(self.cfg.traj_tree.solve_dtype))
+        return jnp.asarray([state[0] - half, state[1] - half], jnp.float64)
 
     def local_state(self) -> np.ndarray:
         """Current ego state in the local planning frame (float64 host)."""
@@ -484,8 +522,9 @@ class MINDPlanner:
             self.metrics.observe("scen_nodes", n_nodes)
 
         s_loc = self.local_state()
-        x0 = jnp.asarray([*s_loc, *self.ctrl],
-                         jnp.dtype(self.cfg.traj_tree.solve_dtype))
+        # f64 like the mirror: two_phase_solve casts to the solve dtype, and
+        # the exec re-solve sees the unrounded state
+        x0 = jnp.asarray([*s_loc, *self.ctrl], jnp.float64)
         tv = float(self.lcl_smp.target_velocity)
         warm_p, full_p = self._cost_params()
         # only the grid origin depends on the current state
@@ -523,8 +562,7 @@ class MINDPlanner:
         """Single-dispatch plan: one program, one ~24-byte sync."""
         with self.metrics.timer.phase("plan_fused"):
             s_loc = self.local_state()
-            x0 = jnp.asarray([*s_loc, *self.ctrl],
-                             jnp.dtype(self.cfg.traj_tree.solve_dtype))
+            x0 = jnp.asarray([*s_loc, *self.ctrl], jnp.float64)
             tv = float(self.lcl_smp.target_velocity)
             warm_p, full_p = self._cost_params()
             offset = self._field_offset(s_loc)

@@ -92,13 +92,18 @@ def _decode_node(cls, reg, vel_pred, inputs: SceneInputs,
     cls [M], reg [A, M, 60, 5], vel_pred [A, M, 60, 2]; windows [A, 50, ...]
     in the global frame. Returns per-mode candidate hists + flags.
 
-    All arithmetic runs at the WINDOW dtype (float64 in production): the f32
-    network outputs are upcast at entry, so denormalization, covariance
-    accumulation and the prune/merge/branch-time decisions reproduce the
-    float64 mirror's values bit-for-near-bit given equal network outputs.
+    Bulk arithmetic (denormalization, merge signature, target-distance)
+    runs at the WINDOW dtype (PlannerConfig.pipeline_dtype); probabilities
+    and covariance accumulation ALWAYS run in float64 — they carry the
+    prune/branch-time decisions and cost a handful of scalar tracks. Under
+    pipeline_dtype='float64' every quantity reproduces the float64 mirror's
+    values bit-for-near-bit given equal network outputs.
     """
     dtype = win_pos.dtype
+    f64 = jnp.float64
+    cls64 = cls.astype(f64)
     cls = cls.astype(dtype)
+    cov_p64 = jnp.maximum(reg[..., 2], reg[..., 3]).astype(f64)
     reg = reg.astype(dtype)
     vel_pred = vel_pred.astype(dtype)
     M = cls.shape[0]
@@ -117,8 +122,8 @@ def _decode_node(cls, reg, vel_pred, inputs: SceneInputs,
     ang_g = jnp.arctan2(vel_pred[..., 1], vel_pred[..., 0]) \
         + a_theta[:, None, None] + theta
 
-    cov_p = jnp.maximum(reg[..., 2], reg[..., 3])        # [A, M, 60] max sigma
-    cov_g = cov_p + win_cov[:, None, -1:]                # accumulate last window cov
+    # [A, M, 60] max sigma, accumulated in f64 onto the last window cov
+    cov_g = cov_p64 + win_cov.astype(f64)[:, None, -1:]
 
     # new 110-frame hists per mode
     def cat_mode(m):
@@ -131,7 +136,7 @@ def _decode_node(cls, reg, vel_pred, inputs: SceneInputs,
     hist_pos, hist_ang, hist_vel, hist_cov = jax.vmap(cat_mode)(jnp.arange(M))
     # -> [M, A, 110, *]
 
-    prob = cls * parent_prob                              # [M]
+    prob = cls64 * parent_prob.astype(f64)                # [M], f64
 
     # prune: improbable scenes (scenario_tree.py:369-370)
     keep = prob >= cfg.prune_prob
@@ -275,7 +280,8 @@ class ScenarioTreeGenerator:
             pos=jnp.zeros((MN, A, SEQ_LEN, 2), dtype),
             ang=jnp.zeros((MN, A, SEQ_LEN), dtype),
             vel=jnp.zeros((MN, A, SEQ_LEN, 2), dtype),
-            cov=jnp.full((MN, A, SEQ_LEN), 1e-5, dtype),
+            # f64 like the fused path: covariance carries decisions
+            cov=jnp.full((MN, A, SEQ_LEN), 1e-5, jnp.float64),
             tgt_pts=jnp.zeros((MN, 11, 2), dtype),
         )
 

@@ -183,8 +183,7 @@ def build_episode_statics(planner) -> EpisodeStatics:
 
 
 def _build_cycle(params, inp: EpisodeInputs, st: EpisodeStatics,
-                 enable_tick, *, core, half, wb, max_spd, max_str, dt,
-                 solve_dtype):
+                 enable_tick, *, core, half, wb, max_spd, max_str, dt):
     """One plan cycle of the device episode as a `lax.scan` step function.
 
     `enable_tick` is a SEPARATE (never-batched) scalar: it is the only input
@@ -215,8 +214,11 @@ def _build_cycle(params, inp: EpisodeInputs, st: EpisodeStatics,
 
         ctrl_in = jnp.where(t0 <= enable_tick,
                             jnp.zeros_like(ctrl), ctrl)
-        x0 = jnp.concatenate([ego_obs, ctrl_in]).astype(solve_dtype)
-        offset = jnp.asarray([x0[0] - half, x0[1] - half], solve_dtype)
+        # x0 and the grid origin stay f64 (the mirror's precision; a
+        # 6-vector, nil cost) — two_phase_solve casts them to the solve
+        # dtype internally, and the exec re-solve sees the unrounded state
+        x0 = jnp.concatenate([ego_obs, ctrl_in.astype(jnp.float64)])
+        offset = jnp.asarray([x0[0] - half, x0[1] - half], jnp.float64)
         wp = st.warm_params._replace(field_offset=offset)
         fp = st.full_params._replace(field_offset=offset)
 
@@ -260,17 +262,21 @@ def _build_cycle(params, inp: EpisodeInputs, st: EpisodeStatics,
     return cycle
 
 
-def _init_episode_carry(A: int):
-    return (DeviceObsBuffer.create(A), jnp.zeros(4, jnp.float64),
+def _init_episode_carry(A: int, pipeline_dtype=jnp.float64):
+    # the ego state carry is ALWAYS f64 (the host loop integrates the ego in
+    # host f64 — reference agent.py:297-300); only the obs window follows
+    # the pipeline dtype
+    return (DeviceObsBuffer.create(A, jnp.dtype(pipeline_dtype)),
+            jnp.zeros(4, jnp.float64),
             jnp.zeros(2, jnp.float32), jnp.array(False))
 
 
 def _episode_core(params, inp: EpisodeInputs, st: EpisodeStatics,
-                  enable_tick, **kw):
+                  enable_tick, *, pipeline_dtype=jnp.float64, **kw):
     """The whole closed loop as ONE pure scan over all plan cycles."""
     C = inp.slot_states.shape[0]
     cycle = _build_cycle(params, inp, st, enable_tick, **kw)
-    carry0 = _init_episode_carry(inp.types.shape[0])
+    carry0 = _init_episode_carry(inp.types.shape[0], pipeline_dtype)
     xs = (inp.slot_states, inp.present, inp.active, inp.ego_replay,
           jnp.arange(C, dtype=jnp.int32))
     _, (rec, ok, planned, iters, ctrls) = jax.lax.scan(cycle, carry0, xs)
@@ -278,7 +284,8 @@ def _episode_core(params, inp: EpisodeInputs, st: EpisodeStatics,
 
 
 def _episode_core_seg(params, inp: EpisodeInputs, st: EpisodeStatics,
-                      enable_tick, c0, carry, **kw):
+                      enable_tick, c0, carry, *,
+                      pipeline_dtype=jnp.float64, **kw):
     """A SEGMENT of the closed loop: plan cycles [c0, c0+Cseg) with an
     explicit carry. Splitting the episode into a few device programs bounds
     per-program execution time (a single 100-cycle Monte-Carlo chunk program
@@ -335,7 +342,7 @@ def _make_core(planner, veh_param, dt: float, batched_apply=None,
     return functools.partial(
         _episode_core_seg if seg else _episode_core, core=core, half=half,
         wb=veh_param.wb, max_spd=veh_param.max_spd, max_str=veh_param.max_str,
-        dt=dt, solve_dtype=jnp.dtype(planner.ilqr_cfg.dtype))
+        dt=dt, pipeline_dtype=jnp.dtype(cfg.pipeline_dtype))
 
 
 def episode_fn_for(planner, veh_param, dt: float, batch: str = "single"):
@@ -475,7 +482,8 @@ def run_episode_segmented(sim, horizon: Optional[int] = None,
     ego, pl, inp, statics = _episode_setup(sim, horizon, inputs)
     fn = episode_fn_for(pl, ego.veh_param, sim.sim_step, batch="single_seg")
     C = int(inp.slot_states.shape[0])
-    carry = _init_episode_carry(int(inp.types.shape[0]))
+    carry = _init_episode_carry(int(inp.types.shape[0]),
+                                jnp.dtype(pl.cfg.pipeline_dtype))
     segs = []
     for s0 in range(0, C, seg_cycles):
         s1 = min(s0 + seg_cycles, C)
@@ -628,8 +636,8 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
                             horizon: Optional[int] = None,
                             chunk: int = 4,
                             seg_cycles: int = 10,
-                            deadline: Optional[float] = None
-                            ) -> List[EpisodeResult]:
+                            deadline: Optional[float] = None,
+                            mesh=None) -> List[EpisodeResult]:
     """K Monte-Carlo perturbed closed-loop episodes, vmapped on device.
 
     `deadline` (epoch seconds) optionally bounds the sweep: no new chunk is
@@ -654,7 +662,14 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
     stream while short probes passed; a measured 466 s segment survived, a
     ~900 s program did not). Bounding each program to 10 cycles keeps even
     an all-hard-cycle dispatch near ~190 s, at the cost of nine extra ~µs
-    syncs per chunk."""
+    syncs per chunk.
+
+    `mesh` optionally shards the copy axis over a `jax.sharding.Mesh` (first
+    mesh axis): each device plans/integrates its shard of the perturbed egos
+    in SPMD, the cross-copy batch dimension riding ICI-free (no collectives —
+    copies are independent), so a v5e-8 slice runs 8x the lanes per program.
+    The per-chunk HBM budget is per DEVICE, so the default chunk scales by
+    the device count; the chunk size must divide evenly across devices."""
     from mind_tpu.sim.agents import MINDAgent
 
     assert seg_cycles >= 1, f"seg_cycles must be >= 1, got {seg_cycles}"
@@ -665,6 +680,18 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
     fn = episode_fn_for(pl, ego.veh_param, sim.sim_step, batch="copies_seg")
     C = int(inp_b.slot_states.shape[1])
     A = int(inp_b.types.shape[-2])  # types is [K, A, 7] after _stack
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        axis = mesh.axis_names[0]
+        chunk = chunk * n_dev
+        copies_sh = NamedSharding(mesh, PartitionSpec(axis))
+        replicated = NamedSharding(mesh, PartitionSpec())
+        statics = jax.device_put(statics, replicated)
+
+        def place_copies(tree):
+            return jax.device_put(tree, copies_sh)
     results: List[EpisodeResult] = []
     for lo in range(0, k, chunk):
         if deadline is not None and results and time.time() > deadline:
@@ -673,12 +700,23 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
         inp_c = jax.tree.map(lambda x: x[lo:hi], inp_b)
         carry = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (hi - lo,) + x.shape),
-            _init_episode_carry(A))
+            _init_episode_carry(A, jnp.dtype(pl.cfg.pipeline_dtype)))
+        if mesh is not None:
+            assert (hi - lo) % n_dev == 0, (
+                f"chunk of {hi - lo} copies does not divide over {n_dev} "
+                f"devices; pick k/chunk multiples of the mesh size")
+            inp_c = place_copies(inp_c)
+            carry = place_copies(carry)
         segs = []
         for s0 in range(0, C, seg_cycles):
             s1 = min(s0 + seg_cycles, C)
             carry, out = fn(pl.params, _slice_cycles(inp_c, s0, s1),
                             statics, jnp.int32(0), jnp.int32(s0), carry)
+            if mesh is not None and lo == 0 and s0 == 0:
+                got = len(out[0].sharding.device_set)
+                assert got == n_dev, (
+                    f"episode outputs sharded over {got} devices, "
+                    f"expected {n_dev} (sharding {out[0].sharding})")
             segs.append([np.asarray(o) for o in out])
         outs_np = [np.concatenate([s[j] for s in segs], axis=1)
                    for j in range(len(segs[0]))]

@@ -74,10 +74,11 @@ def load_sim_state(sim, path: str | Path) -> None:
                 from mind_tpu.planner.aime_device import DeviceObsBuffer
 
                 buf = a.planner.obs_buffer
+                pdt = jnp.dtype(a.planner.cfg.pipeline_dtype)
                 buf.buf = DeviceObsBuffer(
-                    pos=jnp.asarray(data[f"buf_pos_{i}"]),
-                    ang=jnp.asarray(data[f"buf_ang_{i}"]),
-                    vel=jnp.asarray(data[f"buf_vel_{i}"]),
+                    pos=jnp.asarray(data[f"buf_pos_{i}"], pdt),
+                    ang=jnp.asarray(data[f"buf_ang_{i}"], pdt),
+                    vel=jnp.asarray(data[f"buf_vel_{i}"], pdt),
                     observed=jnp.asarray(data[f"buf_obs_{i}"]),
                 )
                 buf.types = data[f"buf_types_{i}"].copy()

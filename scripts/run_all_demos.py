@@ -123,7 +123,8 @@ def main():
         av.is_enable = False
         av.last_pl_tri = None
         av.planner.obs_buffer = ObsBuffer(av.planner.cfg.max_actors,
-                                          origin=av.planner.origin)
+                                          origin=av.planner.origin,
+                                          dtype=av.planner.cfg.pipeline_dtype)
         av.planner.metrics.timer.reset()
         av.planner.metrics.counters.clear()
         sim.sim_horizon = args.steps

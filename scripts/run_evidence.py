@@ -6,15 +6,15 @@ fault, and repeated probing appears to reset that window (see
 .claude/skills/verify/SKILL.md) — so this gate sleeps 40 idle minutes
 between single subprocess-isolated probes instead of hammering it.
 
-On a healthy probe it runs, in order:
-  1. scripts/run_all_demos.py --report DEMOS_TPU.md   (host-loop acceptance)
-  2. bench.py > BENCH_local.json                       (all 5 sections)
-  3. scripts/bench_mc.py --k 64 --out outputs/mc64.json (full MC sweep)
+On a healthy probe it runs every step in STEPS, in order (dtype A/B, both
+demo modes, bench, MC-64, strict pricing, 1024-tree scale, the full parity
+suite, and the demo_1 video render) — or the `--only name,name` subset.
 
 Each step is its own subprocess with a generous timeout; a step failure
 sleeps out the worker recovery window before the next step.
 
 Usage: python scripts/run_evidence.py [--max-wait-h 6] [--probe-now]
+           [--only ab,bench,...]
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ IDLE_SLEEP_S = 2400          # 40 min fully-idle between probes
 RECOVERY_SLEEP_S = 600       # after a step failure, before the next step
 
 STEPS = [
+    ("ab", [sys.executable, "scripts/bench_exec_ab.py"], 2400, None),
     # two processes for the two demo modes: holding both executable sets in
     # one process pressures HBM (see bench.py's section isolation)
     ("demos_episode", [sys.executable, "scripts/run_all_demos.py",
@@ -46,6 +47,12 @@ STEPS = [
     ("mc64", [sys.executable, "scripts/bench_mc.py", "--k", "64",
               "--out", "outputs/mc64.json"], 3600, None),
     ("strict", [sys.executable, "scripts/bench_strict.py"], 3600, None),
+    ("scale", [sys.executable, "scripts/bench_scale.py"], 2400, None),
+    ("parity", [sys.executable, "scripts/parity_run.py",
+                "--report", "PARITY_TRACES.md"], 3 * 3600, None),
+    ("video", [sys.executable, "run_sim.py", "--config",
+               "configs/demo_1.json", "--data-root",
+               "/root/reference/data"], 3600, None),
 ]
 
 
@@ -58,7 +65,15 @@ def main():
     ap.add_argument("--max-wait-h", type=float, default=6.0)
     ap.add_argument("--probe-now", action="store_true",
                     help="probe immediately instead of idling first")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated step names to run (in STEPS order)")
     args = ap.parse_args()
+    steps = STEPS
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown = wanted - {n for n, *_ in STEPS}
+        assert not unknown, f"unknown steps: {sorted(unknown)}"
+        steps = [s for s in STEPS if s[0] in wanted]
 
     os.chdir(ROOT)
     t0 = time.time()
@@ -78,7 +93,7 @@ def main():
             sys.exit(2)
 
     results = {}
-    for name, cmd, timeout_s, stdout_file in STEPS:
+    for name, cmd, timeout_s, stdout_file in steps:
         log(f"step {name}: {' '.join(cmd)}")
         out = open(stdout_file, "w") if stdout_file else None
         try:

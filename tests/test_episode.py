@@ -172,3 +172,37 @@ def test_episode_signature_shared_across_demo_configs():
     other.traj_tree.full = dataclasses.replace(other.traj_tree.full,
                                                smooth_grid_res=0.5)
     assert _cfg_signature(_P(other), vp, 0.02) not in sigs
+
+
+@pytest.mark.slow
+def test_exec_resolve_matches_strict_mode():
+    """`TrajTreeConfig.exec_solve_dtype='float64'` re-solves only the
+    SELECTED tree at f64 for execution. Whenever the f32 selection agrees
+    with strict mode's (it does on the demos — zero flips, PARITY_TRACES),
+    the executed control and hence the whole closed loop must match the
+    full strict `solve_dtype='float64'` run to solver-ULP level, at a
+    fraction of its cost."""
+    steps = 15
+
+    def run(solve_dtype, exec_dtype):
+        cfg = SimConfig.from_json("configs/demo_1.json", data_root=DATA_ROOT)
+        cfg.render = False
+        cfg.cl_agents[0].enable_timestep = 0.0
+        pc = tiny_pc()
+        pc.traj_tree.solve_dtype = solve_dtype
+        pc.traj_tree.exec_solve_dtype = exec_dtype
+        sim = Simulator(cfg, planner_cfg=pc, max_steps=steps)
+        sim.init_sim()
+        return run_episode(sim, horizon=steps)
+
+    strict = run("float64", "float64")       # exec re-solve disabled: equal
+    execf64 = run("float32", "float64")      # production default
+    plain = run("float32", "float32")        # exec re-solve disabled
+
+    assert strict.fail_cycle == execf64.fail_cycle == plain.fail_cycle
+    # production-with-exec == strict, up to selection agreement
+    np.testing.assert_allclose(execf64.ego_states, strict.ego_states,
+                               atol=1e-8)
+    # and the f32-executed run deviates measurably more than that
+    np.testing.assert_allclose(plain.ego_states, strict.ego_states,
+                               atol=1e-2)

