@@ -133,9 +133,12 @@ class TrajTreeConfig:
     # reproduces the f64 mirror's two-phase iteration path on one tree
     # (executed control mirror-exact whenever the selection agrees), at a
     # fraction of strict mode's cost (1 tree instead of 6, winner's own
-    # iteration count instead of the vmapped max). Set equal to solve_dtype
-    # to disable the re-solve.
-    exec_solve_dtype: str = "float64"
+    # iteration count instead of the vmapped max) — but emulated f64 on a
+    # chip with no native f64 path still prices it at ~5.6x the plan cycle
+    # (outputs/exec_ab.json: 623 ms vs 111 ms on demo_1), so production
+    # defaults to float32 (= solve_dtype, which disables the re-solve) and
+    # the f64 re-solve is a certification option.
+    exec_solve_dtype: str = "float32"
     n_line_search: int = 10
     max_reg: float = 1e10
     # fixed-width limits for the batched tree solve (new)
@@ -171,8 +174,11 @@ class PlannerConfig:
     # outputs); "float32" keeps the bulk tensors in the chip-native dtype —
     # probabilities, covariance accumulation, renormalization and the
     # tree-selection cost stay f64 either way (they are cheap scalars/small
-    # tensors and carry the discrete decisions; see PARITY.md)
-    pipeline_dtype: str = "float64"
+    # tensors and carry the discrete decisions; see PARITY.md). Production
+    # defaults to float32: the f64 bulk pipeline costs ~22% throughput
+    # (outputs/exec_ab.json: 75.1 -> 58.8 steps/s on demo_1) and the
+    # decision scalars above are what the flip-free property rests on.
+    pipeline_dtype: str = "float32"
 
 
 @dataclass

@@ -213,12 +213,12 @@ def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
         "  scenario_tree.py:38-108, solver.py:80-240), sharing only the",
         "  prediction network function (measured bitwise-identical across",
         "  compilation contexts on TPU).",
-        "- The device pipeline outside the network and the iLQR solve runs",
-        "  in float64 (observation window, scene prep, mode decode,",
-        "  covariance accumulation, prune/merge/branch-time decisions,",
-        "  probability renormalization, tree-selection cost), so the",
-        "  production path takes the same discrete decisions as the mirror;",
-        "  per-cycle deviation is the f32 iLQR's smooth residual.",
+        "- The quantities that carry the discrete prune/merge/branch and",
+        "  tree-selection decisions (mode probabilities, covariance",
+        "  accumulation, renormalization, selection cost) run in float64",
+        "  regardless of `PlannerConfig.pipeline_dtype`, so the production",
+        "  path takes the same discrete decisions as the mirror; per-cycle",
+        "  deviation is the f32 bulk pipeline + iLQR's smooth residual.",
         "- Free-run deviation amplifies per-cycle seeds exponentially",
         "  (Lyapunov growth of the coupled planner/vehicle loop); the",
         "  strict f64-solve mode shrinks the seeds to solver-ULP level.",
