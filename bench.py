@@ -24,8 +24,9 @@ detail carries:
 
 DEADLINE DISCIPLINE (the round-3 lesson: BENCH_r03 was rc=124/parsed=null —
 a benchmark of a 100x speedup must not itself time out): the whole run has a
-hard global budget (MIND_TPU_BENCH_BUDGET_S, default 19 min — the reference
-runs ONE demo in ~10). All sections run inside ONE child process (the
+hard global budget (MIND_TPU_BENCH_BUDGET_S, default 22 min — the reference
+runs ONE demo in ~10; the round-3 driver kill landed at ~25 min, so 22 keeps
+margin). All sections run inside ONE child process (the
 backend initializes once, sims are built once and shared); the child streams
 one tagged result line per section, so a TPU-worker fault mid-run loses only
 the in-flight section — the parent restarts a child for the remaining
@@ -48,7 +49,7 @@ BASELINE_STEPS_PER_SEC = 500.0 / 600.0
 V5E_PEAK_BF16 = 197e12
 DEMOS = ["demo_1", "demo_2", "demo_3", "demo_4"]
 
-BUDGET_S = float(os.environ.get("MIND_TPU_BENCH_BUDGET_S", 19 * 60))
+BUDGET_S = float(os.environ.get("MIND_TPU_BENCH_BUDGET_S", 22 * 60))
 T_START = time.time()
 DEADLINE = T_START + BUDGET_S
 
@@ -58,7 +59,7 @@ MIN_NEED_S = {
     "per_demo_episode": 180,
     "batched_episode": 100,
     "phase_split": 150,
-    "monte_carlo_episode": 120,
+    "monte_carlo_episode": 100,
     "host_loop_demo_1": 90,
 }
 # order: headline first, host_loop last (it is the only section BENCH does
@@ -445,8 +446,10 @@ def _run_child(sections, deadline):
             continue
         try:
             if name == "monte_carlo_episode":
-                # leave headroom for the final result line + flush
-                out = SECTIONS[name](section_deadline=deadline - 30)
+                # stop issuing MC chunks early enough that host_loop (the
+                # section after it, min-need 90) and the final result line
+                # still fit before the global deadline
+                out = SECTIONS[name](section_deadline=deadline - 120)
             else:
                 out = SECTIONS[name]()
         except Exception as e:  # keep later sections alive

@@ -56,6 +56,7 @@ def main():
                for k, v in r.items() if k != "records"}, flush=True)
 
     play_rows, sync_rows, free_rows, free_strict_rows = [], [], [], []
+    free_balanced_rows = []
     demos = [f"demo_{d.strip()}" for d in args.demos.split(",")]
 
     if "playback" not in args.skip:
@@ -86,6 +87,11 @@ def main():
             r = run_parity_demo(demo, free_steps)
             free_rows.append(r)
             show(r)
+            print(f"=== {demo} free-run, balanced (pipeline f64, f32 solve)"
+                  " ===", flush=True)
+            r = run_parity_demo(demo, free_steps, pipeline_dtype="float64")
+            free_balanced_rows.append(r)
+            show(r)
             print(f"=== {demo} free-run, strict f64 solve ===", flush=True)
             r = run_parity_demo(demo, free_steps, solve_dtype="float64")
             free_strict_rows.append(r)
@@ -107,14 +113,19 @@ def main():
               f"(max {max(r['max_dev_cl'] for r in free_strict_rows):.2e}); "
               f"production max "
               f"{max(r['max_dev_cl'] for r in free_rows):.2e}")
+    if free_balanced_rows:
+        ok = all(r["max_dev_cl"] <= 1e-3 for r in free_balanced_rows)
+        print(f"FREE-RUN balanced {'PASS' if ok else 'FAIL'} "
+              f"(max {max(r['max_dev_cl'] for r in free_balanced_rows):.2e})")
 
     if args.report:
         write_report(args.report, play_rows, sync_rows, free_rows,
-                     free_strict_rows, args.steps)
+                     free_strict_rows, args.steps,
+                     free_balanced_rows=free_balanced_rows)
 
 
 def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
-                 steps):
+                 steps, free_balanced_rows=()):
     lines = [
         "# PARITY_TRACES — end-to-end trajectory parity",
         "",
@@ -173,6 +184,11 @@ def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
             f"| {r['demo']} | production f32 | {r['closed_loop_steps']} |"
             f" {r['max_dev_cl']:.2e} | {r['mean_dev_cl']:.2e} |"
             f" {r['final_dev']:.2e} |")
+    for r in free_balanced_rows:
+        lines.append(
+            f"| {r['demo']} | balanced (pipe f64) | {r['closed_loop_steps']} |"
+            f" {r['max_dev_cl']:.2e} | {r['mean_dev_cl']:.2e} |"
+            f" {r['final_dev']:.2e} |")
     for r in free_strict_rows:
         lines.append(
             f"| {r['demo']} | strict f64 | {r['closed_loop_steps']} |"
@@ -197,6 +213,11 @@ def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
         verdicts.append(
             f"free-run strict {'PASS' if ok else 'FAIL'} (max "
             f"{max(r['max_dev_cl'] for r in free_strict_rows):.2e})")
+    if free_balanced_rows:
+        ok = all(r["max_dev_cl"] <= 1e-3 for r in free_balanced_rows)
+        verdicts.append(
+            f"free-run balanced {'PASS' if ok else 'FAIL'} (max "
+            f"{max(r['max_dev_cl'] for r in free_balanced_rows):.2e})")
     if free_rows:
         verdicts.append(
             f"free-run production max "
