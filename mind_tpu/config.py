@@ -128,17 +128,27 @@ class TrajTreeConfig:
     # tree-selection flips at near-tied candidate trees)
     solve_dtype: str = "float32"
     # execution precision: after the best tree is selected from the
-    # `solve_dtype` solves, the WINNER is re-solved from scratch at this
-    # dtype and its first control is what the vehicle executes. "float64"
-    # reproduces the f64 mirror's two-phase iteration path on one tree
-    # (executed control mirror-exact whenever the selection agrees), at a
-    # fraction of strict mode's cost (1 tree instead of 6, winner's own
-    # iteration count instead of the vmapped max) — but emulated f64 on a
-    # chip with no native f64 path still prices it at ~5.6x the plan cycle
-    # (outputs/exec_ab.json: 623 ms vs 111 ms on demo_1), so production
-    # defaults to float32 (= solve_dtype, which disables the re-solve) and
-    # the f64 re-solve is a certification option.
-    exec_solve_dtype: str = "float32"
+    # `solve_dtype` solves, the WINNER is re-solved at this dtype and its
+    # first control is what the vehicle executes. None (default) follows
+    # `solve_dtype`, which disables the re-solve — so strict mode
+    # (solve_dtype='float64' alone) stays pure f64 end to end.
+    exec_solve_dtype: Optional[str] = None
+    # exec re-solve strategy:
+    # - "polish": ONE full-phase solve at exec_solve_dtype warm-started from
+    #   the winner's converged `solve_dtype` controls — converges to the
+    #   full-cost optimum (the point the mirror's two-phase f64 solve also
+    #   approaches) in a handful of f64 iterations instead of the ~140
+    #   two-phase iterations from scratch;
+    # - "scratch": re-run the full two-phase solve at exec_solve_dtype,
+    #   reproducing the f64 mirror's iteration path exactly (executed
+    #   control mirror-exact whenever the selection agrees) — the
+    #   certification option, priced at ~5.6x the plan cycle
+    #   (outputs/exec_ab.json: 623 ms vs 111 ms on demo_1).
+    exec_resolve_mode: str = "polish"
+    # iteration cap for the polish re-solve (a budget, not a trip count —
+    # the lax.while_loop exits on the production rel_tol, measured ~5-15
+    # iterations from a converged f32 warm start)
+    exec_polish_iterations: int = 100
     n_line_search: int = 10
     max_reg: float = 1e10
     # fixed-width limits for the batched tree solve (new)

@@ -19,14 +19,18 @@ DATA_ROOT = "/root/reference/data"
 def run_parity_demo(demo: str, max_steps: int,
                     data_root: str = DATA_ROOT,
                     solve_dtype: Optional[str] = None,
-                    pipeline_dtype: Optional[str] = None) -> dict:
+                    pipeline_dtype: Optional[str] = None,
+                    exec_solve_dtype: Optional[str] = None,
+                    exec_resolve_mode: Optional[str] = None) -> dict:
     """Free-run lockstep parity on the PRODUCTION planner configuration
     (bf16 network shared by both sides, production rel_tol). `solve_dtype`
     optionally overrides the iLQR precision — "float64" is the strict mode
     whose device solver matches the f64 mirror's to ~1e-12, removing the
     dominant free-run seed. `pipeline_dtype` optionally overrides the bulk
     obs-window/scene-prep precision (the "balanced" certification mode is
-    pipeline_dtype='float64' with the f32 solve)."""
+    pipeline_dtype='float64' with the f32 solve). `exec_solve_dtype` /
+    `exec_resolve_mode` optionally override the winner-tree exec re-solve
+    policy (TrajTreeConfig)."""
     from mind_tpu.config import SimConfig, planner_config_for_demo
     from mind_tpu.sim.simulator import Simulator
     from mind_tpu.sim.agents import MINDAgent
@@ -40,6 +44,10 @@ def run_parity_demo(demo: str, max_steps: int,
             pcfg.traj_tree.solve_dtype = solve_dtype
         if pipeline_dtype is not None:
             pcfg.pipeline_dtype = pipeline_dtype
+        if exec_solve_dtype is not None:
+            pcfg.traj_tree.exec_solve_dtype = exec_solve_dtype
+        if exec_resolve_mode is not None:
+            pcfg.traj_tree.exec_resolve_mode = exec_resolve_mode
         sim = Simulator(cfg, planner_cfg=pcfg, max_steps=max_steps)
         sim.init_sim()
         return sim

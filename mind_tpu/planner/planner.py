@@ -43,6 +43,7 @@ from mind_tpu.planner.trajectory_tree import (
     gather_cost_nodes,
     make_cost_params,
     two_phase_solve,
+    polish_solve,
     evaluate_traj_tree,
 )
 from mind_tpu.planner.cost_topology import device_cost_topology
@@ -63,23 +64,43 @@ TYPE_ORDER = [
 ]
 
 
-def exec_resolve_ctrl(slots, norm_prob, amask, dct, best, x0,
-                      warm_params, full_params, ilqr_cfg, warm_ilqr_cfg,
-                      exec_dtype):
-    """Re-solve the SELECTED tree from scratch at `exec_dtype` and return its
-    first control (TrajTreeConfig.exec_solve_dtype). Selection ran on the
-    fast f32 solves; execution reproduces the f64 mirror's two-phase
-    iteration path (reference planner.py:174-178) on the one tree that
-    matters, so the executed control is mirror-exact whenever the selection
-    agrees — at ~1/6 of strict mode's f64-solve cost."""
+def resolve_exec_dtype(tt, solve_dtype):
+    """TrajTreeConfig.exec_solve_dtype=None means 'follow solve_dtype'
+    (the re-solve is disabled); the re-solve compiles in only when the
+    resolved dtype differs from the solve dtype."""
+    return jnp.dtype(tt.exec_solve_dtype or solve_dtype)
+
+
+def exec_resolve_ctrl(slots, norm_prob, amask, dct, best, x0, us_best,
+                      warm_params, full_params, ilqr_cfg, warm_ilqr_cfg, tt):
+    """Re-solve the SELECTED tree at `tt.exec_solve_dtype` and return its
+    first control. Selection ran on the fast f32 solves; only the winner —
+    the one tree whose first control the vehicle executes — pays for the
+    higher precision.
+
+    Two strategies (TrajTreeConfig.exec_resolve_mode):
+    - 'polish': one full-phase solve warm-started from the winner's
+      converged f32 controls `us_best` — a handful of f64 iterations to the
+      full-cost optimum the mirror's solve also approaches;
+    - 'scratch': the full two-phase solve (reference planner.py:174-178),
+      reproducing the f64 mirror's iteration path exactly (executed control
+      mirror-exact whenever the selection agrees) at ~10x the polish cost.
+    """
+    ed = resolve_exec_dtype(tt, ilqr_cfg.dtype)
     topo_best = jax.tree.map(lambda x: x[best], dct.topo)
     nodes_e = gather_cost_nodes(slots, norm_prob, dct.cost_slot[best],
                                 dct.cost_step[best], topo_best.node_mask,
-                                amask, dtype=exec_dtype)
-    dts = str(exec_dtype)
-    xs_e, _, _ = two_phase_solve(
-        topo_best, x0, nodes_e, warm_params, full_params,
-        ilqr_cfg._replace(dtype=dts), warm_ilqr_cfg._replace(dtype=dts))
+                                amask, dtype=ed)
+    dts = str(ed)
+    if tt.exec_resolve_mode == "polish":
+        xs_e, _, _ = polish_solve(
+            topo_best, x0, us_best, nodes_e, full_params,
+            ilqr_cfg._replace(dtype=dts,
+                              max_iterations=tt.exec_polish_iterations))
+    else:
+        xs_e, _, _ = two_phase_solve(
+            topo_best, x0, nodes_e, warm_params, full_params,
+            ilqr_cfg._replace(dtype=dts), warm_ilqr_cfg._replace(dtype=dts))
     return xs_e[0, 4:6].astype(jnp.float32)
 
 
@@ -109,18 +130,19 @@ def fused_plan_core(params, buf, types, amask, x0, warm_params, full_params,
         cost = evaluate_traj_tree(
             xs, us, topo.node_mask, jnp.sum(topo.node_mask), x0,
             *eval_segs, target_vel, weights)
-        return cost, xs[0, 4:6], info["iterations"]
+        return cost, xs[0, 4:6], us, info["iterations"]
 
-    cost_b, ctrl_b, its = jax.vmap(one)(dct.topo, dct.cost_slot,
-                                        dct.cost_step)
+    cost_b, ctrl_b, us_b, its = jax.vmap(one)(dct.topo, dct.cost_slot,
+                                              dct.cost_step)
     cost_b = jnp.where(dct.tree_mask, cost_b, jnp.inf)
     best = jnp.argmin(cost_b)
     ctrl = ctrl_b[best].astype(jnp.float32)  # f64 under solve_dtype=float64
-    ed = jnp.dtype(cfg.traj_tree.exec_solve_dtype)
+    ed = resolve_exec_dtype(cfg.traj_tree, ilqr_cfg.dtype)
     if ed != sd:  # static: compiled in only when the re-solve is enabled
         ctrl = exec_resolve_ctrl(
-            state.slots, meta.norm_prob, amask, dct, best, x0,
-            warm_params, full_params, ilqr_cfg, warm_ilqr_cfg, ed)
+            state.slots, meta.norm_prob, amask, dct, best, x0, us_b[best],
+            warm_params, full_params, ilqr_cfg, warm_ilqr_cfg,
+            cfg.traj_tree)
     ok = (dct.n_trees > 0).astype(jnp.float32)
     return jnp.concatenate([
         ctrl, jnp.array([ok], jnp.float32),
@@ -393,7 +415,7 @@ class MINDPlanner:
             best = jnp.argmin(cost_b)
             # control = first cost node's [accel, steer] (planner.py:141-144)
             ctrl = xs_b[best, 0, 4:6].astype(jnp.float32)
-            ed = jnp.dtype(cfg.traj_tree.exec_solve_dtype)
+            ed = resolve_exec_dtype(cfg.traj_tree, self.ilqr_cfg.dtype)
             if ed != sd:
                 from mind_tpu.planner.cost_topology import DeviceCostTrees
 
@@ -401,9 +423,9 @@ class MINDPlanner:
                     topo=topo_b, cost_slot=cost_slot_b, cost_step=cost_step_b,
                     tree_mask=tree_mask, n_trees=jnp.sum(tree_mask))
                 ctrl = exec_resolve_ctrl(
-                    slots, norm_prob, amask, dct_like, best, x0,
+                    slots, norm_prob, amask, dct_like, best, x0, us_b[best],
                     warm_params, full_params, self.ilqr_cfg,
-                    self.warm_ilqr_cfg, ed)
+                    self.warm_ilqr_cfg, cfg.traj_tree)
             # everything the host needs, in one small pull
             packed = jnp.concatenate([
                 ctrl,

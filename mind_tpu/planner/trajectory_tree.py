@@ -246,6 +246,30 @@ def two_phase_solve(topo: TreeTopology, x0, nodes: NodeCostData,
     return xs, us, info
 
 
+def polish_solve(topo: TreeTopology, x0, us_init, nodes: NodeCostData,
+                 full_params: CostParams, ilqr_cfg: ILQRConfig):
+    """ONE full-phase solve at `ilqr_cfg.dtype` warm-started from `us_init`
+    (the winner tree's converged solve-dtype controls): the
+    `TrajTreeConfig.exec_resolve_mode='polish'` re-solve.
+
+    Where `two_phase_solve` re-runs the mirror's warm+full iteration path
+    from scratch (~140 f64 iterations), the polish starts at the f32
+    optimum and descends the same full cost surface the mirror's full solve
+    ends on, so it reaches the shared optimum in a handful of f64
+    iterations (the while_loop exits on rel_tol). Float leaves are cast to
+    the solve dtype here, mirroring two_phase_solve's entry cast."""
+    sd = jnp.dtype(ilqr_cfg.dtype)
+
+    def cast(t):
+        return jax.tree.map(
+            lambda x: x.astype(sd)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, t)
+
+    return ilqr_solve(topo, jnp.asarray(x0).astype(sd),
+                      jnp.asarray(us_init).astype(sd), cast(nodes),
+                      cast(full_params), ilqr_cfg)
+
+
 def evaluate_traj_tree(xs, us, node_mask, n_nodes, x0,
                        eval_seg_start, eval_seg_end, eval_seg_mask,
                        target_vel, cfg_weights):

@@ -3,10 +3,11 @@
 Times the fused demo_1 episode (the benched path) across the dtype-policy
 matrix that round 4 introduced:
 
-  r3-default : pipeline f64, exec off   (round-3 shipped configuration)
-  exec       : pipeline f64, exec f64   (winner re-solved at f64)
-  fast+exec  : pipeline f32, exec f64   (bulk tensors back to f32)
-  fast       : pipeline f32, exec off   (round-2-style speed ceiling)
+  r3_default : pipeline f64, exec off            (round-3 configuration)
+  exec       : pipeline f64, exec f64 scratch    (two-phase re-solve)
+  fast_exec  : pipeline f32, exec f64 scratch    (bulk tensors back to f32)
+  fast_polish: pipeline f32, exec f64 polish     (warm-started winner polish)
+  fast       : pipeline f32, exec off            (round-2-style speed ceiling)
 
 Writes outputs/exec_ab.json with steps/s + per-plan-cycle ms per variant.
 The production default is chosen from this measurement plus the parity
@@ -26,11 +27,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = [
-    # (name, pipeline_dtype, exec_solve_dtype)
-    ("r3_default", "float64", "float32"),
-    ("exec", "float64", "float64"),
-    ("fast_exec", "float32", "float64"),
-    ("fast", "float32", "float32"),
+    # (name, pipeline_dtype, exec_solve_dtype, exec_resolve_mode)
+    # exec_solve_dtype=None follows solve_dtype (re-solve disabled)
+    ("r3_default", "float64", None, "polish"),
+    ("exec", "float64", "float64", "scratch"),
+    ("fast_exec", "float32", "float64", "scratch"),
+    ("fast_polish", "float32", "float64", "polish"),
+    ("fast", "float32", None, "polish"),
 ]
 
 
@@ -54,12 +57,13 @@ def main():
 
     wanted = set(args.variants.split(","))
     rows = {}
-    for name, pdt, edt in VARIANTS:
+    for name, pdt, edt, mode in VARIANTS:
         if name not in wanted:
             continue
         pc = planner_config_for_demo("demo_1")
         pc.pipeline_dtype = pdt
         pc.traj_tree.exec_solve_dtype = edt
+        pc.traj_tree.exec_resolve_mode = mode
         cfg = SimConfig.from_json(os.path.join(root, "configs/demo_1.json"),
                                   data_root="/root/reference/data")
         cfg.render = False
@@ -76,6 +80,7 @@ def main():
         rows[name] = {
             "pipeline_dtype": pdt,
             "exec_solve_dtype": edt,
+            "exec_resolve_mode": mode if edt else None,
             "steps_per_s": round(n / wall, 2),
             "plan_cycle_ms": round(wall / max(res.plan_calls, 1) * 1e3, 1),
             "wall_s": round(wall, 2),

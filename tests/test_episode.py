@@ -174,35 +174,61 @@ def test_episode_signature_shared_across_demo_configs():
     assert _cfg_signature(_P(other), vp, 0.02) not in sigs
 
 
+def _run_exec_variant(steps, solve_dtype, exec_dtype, mode="scratch"):
+    cfg = SimConfig.from_json("configs/demo_1.json", data_root=DATA_ROOT)
+    cfg.render = False
+    cfg.cl_agents[0].enable_timestep = 0.0
+    pc = tiny_pc()
+    pc.traj_tree.solve_dtype = solve_dtype
+    pc.traj_tree.exec_solve_dtype = exec_dtype
+    pc.traj_tree.exec_resolve_mode = mode
+    sim = Simulator(cfg, planner_cfg=pc, max_steps=steps)
+    sim.init_sim()
+    return run_episode(sim, horizon=steps)
+
+
 @pytest.mark.slow
 def test_exec_resolve_matches_strict_mode():
     """`TrajTreeConfig.exec_solve_dtype='float64'` re-solves only the
-    SELECTED tree at f64 for execution. Whenever the f32 selection agrees
-    with strict mode's (it does on the demos — zero flips, PARITY_TRACES),
-    the executed control and hence the whole closed loop must match the
-    full strict `solve_dtype='float64'` run to solver-ULP level, at a
-    fraction of its cost."""
+    SELECTED tree at f64 for execution. In 'scratch' mode the re-solve
+    reproduces the mirror's two-phase iteration path, so whenever the f32
+    selection agrees with strict mode's (it does on the demos — zero flips,
+    PARITY_TRACES) the executed control and hence the whole closed loop
+    matches the full strict `solve_dtype='float64'` run to solver-ULP
+    level. 'polish' mode warm-starts ONE full-phase f64 solve from the
+    converged f32 controls: same optimum, not the same iterate — it must
+    land far closer to strict than the plain f32 execution does."""
     steps = 15
 
-    def run(solve_dtype, exec_dtype):
-        cfg = SimConfig.from_json("configs/demo_1.json", data_root=DATA_ROOT)
-        cfg.render = False
-        cfg.cl_agents[0].enable_timestep = 0.0
-        pc = tiny_pc()
-        pc.traj_tree.solve_dtype = solve_dtype
-        pc.traj_tree.exec_solve_dtype = exec_dtype
-        sim = Simulator(cfg, planner_cfg=pc, max_steps=steps)
-        sim.init_sim()
-        return run_episode(sim, horizon=steps)
+    strict = _run_exec_variant(steps, "float64", "float64")  # resolve off
+    scratch = _run_exec_variant(steps, "float32", "float64", "scratch")
+    polish = _run_exec_variant(steps, "float32", "float64", "polish")
+    plain = _run_exec_variant(steps, "float32", None)        # resolve off
 
-    strict = run("float64", "float64")       # exec re-solve disabled: equal
-    execf64 = run("float32", "float64")      # production default
-    plain = run("float32", "float32")        # exec re-solve disabled
-
-    assert strict.fail_cycle == execf64.fail_cycle == plain.fail_cycle
-    # production-with-exec == strict, up to selection agreement
-    np.testing.assert_allclose(execf64.ego_states, strict.ego_states,
+    assert (strict.fail_cycle == scratch.fail_cycle == polish.fail_cycle
+            == plain.fail_cycle)
+    # scratch == strict, up to selection agreement
+    np.testing.assert_allclose(scratch.ego_states, strict.ego_states,
                                atol=1e-8)
+    # polish converges to the same full-cost optimum: well inside the
+    # north-star budget of strict over this horizon
+    np.testing.assert_allclose(polish.ego_states, strict.ego_states,
+                               atol=1e-4)
     # and the f32-executed run deviates measurably more than that
     np.testing.assert_allclose(plain.ego_states, strict.ego_states,
                                atol=1e-2)
+
+
+@pytest.mark.slow
+def test_strict_mode_needs_only_solve_dtype():
+    """Setting ONLY solve_dtype='float64' (how strict mode is configured
+    everywhere: parity/runner.py, scripts/bench_strict.py) must run pure
+    f64 end to end: exec_solve_dtype=None follows solve_dtype, so no f32
+    re-solve fires. Regression test for the round-4 default
+    exec_solve_dtype='float32', which silently downgraded strict runs'
+    executed controls to f32."""
+    steps = 10
+    only_solve = _run_exec_variant(steps, "float64", None)
+    explicit = _run_exec_variant(steps, "float64", "float64")
+    np.testing.assert_array_equal(only_solve.ego_states, explicit.ego_states)
+    np.testing.assert_array_equal(only_solve.controls, explicit.controls)
