@@ -62,10 +62,13 @@ MIN_NEED_S = {
     "monte_carlo_episode": 100,
     "host_loop_demo_1": 90,
 }
-# order: headline first, host_loop last (it is the only section BENCH does
-# not strictly need — DEMOS_TPU.md carries the authoritative host-loop table)
-SECTION_ORDER = ["per_demo_episode", "batched_episode", "phase_split",
-                 "monte_carlo_episode", "host_loop_demo_1"]
+# order: headline first, then the two sections that have historically been
+# squeezed out of the window (phase_split carries MFU — absent from the
+# record for three rounds; MC carries the 64-way number), then batched;
+# host_loop last (the only section BENCH does not strictly need —
+# DEMOS_TPU.md carries the authoritative host-loop table)
+SECTION_ORDER = ["per_demo_episode", "phase_split", "monte_carlo_episode",
+                 "batched_episode", "host_loop_demo_1"]
 
 RESULT_TAG = "@@BENCH_SECTION@@ "
 
@@ -335,25 +338,42 @@ def section_batched():
 def section_mc(section_deadline=None):
     """64-way Monte-Carlo episode batch on demo_1, deadline-bounded: the
     sweep stops issuing chunks at the deadline and reports the copies that
-    actually completed (scripts/bench_mc.py records the full unbounded 64)."""
+    actually completed (scripts/bench_mc.py records the full unbounded 64).
+    Reports the cold (first chunk: executable load + scheduling) vs warm
+    (steady-state chunks) split — the warm rate is the steady-state
+    throughput headline, the cold wall is disclosed alongside."""
     from mind_tpu.sim.episode import run_episode_monte_carlo
 
     sim = _build_sims(DEMOS[:1])[0]
     # one-chunk warm run loads the (persistent-cached) executable; the
     # timed run then measures warm chunk executions
     _timed(run_episode_monte_carlo, sim, 4)
+    walls = []
     t0 = time.perf_counter()
-    mc = run_episode_monte_carlo(sim, 64, deadline=section_deadline)
+    mc = run_episode_monte_carlo(sim, 64, deadline=section_deadline,
+                                 chunk_walls=walls)
     wall_mc = time.perf_counter() - t0
     mc_total = sum(len(r.ego_states) for r in mc)
-    return {
+    out = {
         "copies": len(mc),
         "copies_requested": 64,
         "eff_steps_per_s": round(mc_total / wall_mc, 2),
         "vs_baseline": round(mc_total / wall_mc / BASELINE_STEPS_PER_SEC, 2),
         "wall_s": round(wall_mc, 2),
         "survived": sum(1 for r in mc if r.fail_cycle < 0),
+        "chunk_walls_s": [w for _, _, w in walls],
     }
+    if len(walls) > 1:
+        warm_wall = sum(w for _, _, w in walls[1:])
+        warm_copies = walls[-1][1] - walls[0][1]
+        warm_steps = sum(len(r.ego_states)
+                         for r in mc[walls[0][1]:])
+        out["warm_steps_per_s"] = round(warm_steps / warm_wall, 2)
+        out["warm_vs_baseline"] = round(
+            warm_steps / warm_wall / BASELINE_STEPS_PER_SEC, 2)
+        out["cold_first_chunk_s"] = walls[0][2]
+        out["warm_copies"] = warm_copies
+    return out
 
 
 def _warm_host_loop(sim, av):
@@ -432,10 +452,15 @@ RECOVERY_SLEEP_S = 300
 def _run_child(sections, deadline):
     """Child mode: run `sections` in order inside ONE process (one backend
     init, shared sims), emitting a tagged JSON line per section as it
-    finishes. Sections that would not fit before `deadline` are marked
-    skipped. A TPU fault kills the child; everything already printed
-    survives."""
+    finishes (with its wall time, for the parent's window accounting).
+    Sections that would not fit before `deadline` are marked skipped. A TPU
+    fault kills the child; everything already printed survives."""
+    t_child = time.time()
     _init_jax()
+    print(RESULT_TAG + json.dumps(
+        {"section": "_child_init",
+         "result": {"jax_init_s": round(time.time() - t_child, 1)}}),
+        flush=True)
     for name in sections:
         remaining = deadline - time.time()
         if remaining < MIN_NEED_S[name]:
@@ -444,17 +469,20 @@ def _run_child(sections, deadline):
                  "result": {"error": "skipped_deadline",
                             "remaining_s": round(remaining)}}), flush=True)
             continue
+        t_sec = time.time()
         try:
             if name == "monte_carlo_episode":
-                # stop issuing MC chunks early enough that host_loop (the
-                # section after it, min-need 90) and the final result line
-                # still fit before the global deadline
+                # stop issuing MC chunks early enough that the remaining
+                # sections and the final result line still fit before the
+                # global deadline
                 out = SECTIONS[name](section_deadline=deadline - 120)
             else:
                 out = SECTIONS[name]()
         except Exception as e:  # keep later sections alive
             out = {"error": f"{type(e).__name__}: {e}"}
-        print(RESULT_TAG + json.dumps({"section": name, "result": out}),
+        print(RESULT_TAG + json.dumps({"section": name, "result": out,
+                                       "elapsed_s": round(time.time() - t_sec,
+                                                          1)}),
               flush=True)
         _progress(name, out)
 
@@ -466,10 +494,11 @@ def _spawn_child(sections, deadline):
     return subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
 
 
-def _drain_child(proc, results):
+def _drain_child(proc, results, accounting=None):
     """Stream the child's stdout into `results` until it exits or the
     global deadline passes (then kill it). Returns True if the child exited
-    cleanly."""
+    cleanly. `accounting`, if given, records each section's arrival offset
+    and child-side wall time (the window_accounting detail block)."""
     import selectors
 
     sel = selectors.DefaultSelector()
@@ -488,7 +517,16 @@ def _drain_child(proc, results):
                 return proc.returncode == 0
             if line.startswith(RESULT_TAG):
                 rec = json.loads(line[len(RESULT_TAG):])
-                results[rec["section"]] = rec["result"]
+                if accounting is not None:
+                    acc = {"done_at_s": round(time.time() - T_START, 1)}
+                    if "elapsed_s" in rec:
+                        acc["elapsed_s"] = rec["elapsed_s"]
+                    if rec["section"] == "_child_init":
+                        acc.update(rec["result"])
+                    accounting.setdefault(
+                        "sections", {})[rec["section"]] = acc
+                if rec["section"] != "_child_init":
+                    results[rec["section"]] = rec["result"]
         elif proc.poll() is not None:
             return proc.returncode == 0
 
@@ -519,7 +557,7 @@ def _wait_for_tpu(max_wait_s):
         time.sleep(retry)
 
 
-def _final_json(results):
+def _final_json(results, accounting=None):
     per_demo = results.get("per_demo_episode", {"error": "missing"})
     phases = results.get("phase_split", {"error": "missing"})
     demo_rows = {k: v for k, v in per_demo.items() if k in DEMOS}
@@ -545,6 +583,7 @@ def _final_json(results):
             "mfu": phases.get("net_mfu_bf16_peak"),
             "net_flops_per_fwd_b8": phases.get("net_flops_per_fwd"),
             "wall_s_total": round(time.time() - T_START, 1),
+            "window_accounting": accounting or {},
         },
     }
 
@@ -559,6 +598,11 @@ def main():
             out = SECTIONS[name]()
         print(RESULT_TAG + json.dumps({"section": name, "result": out}),
               flush=True)
+        if "--out" in sys.argv:  # driver-independent committed artifact
+            path = sys.argv[sys.argv.index("--out") + 1]
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"section": name, "result": out}, f, indent=1)
         return
 
     if "--child" in sys.argv:
@@ -568,8 +612,13 @@ def main():
         return
 
     results = {}
+    accounting = {"budget_s": BUDGET_S, "child_restarts": 0,
+                  "recovery_sleep_s": 0}
     try:
-        if not _wait_for_tpu(max_wait_s=min(BUDGET_S * 0.5, 1500)):
+        t_probe = time.time()
+        healthy = _wait_for_tpu(max_wait_s=min(BUDGET_S * 0.5, 1500))
+        accounting["probe_wait_s"] = round(time.time() - t_probe, 1)
+        if not healthy:
             # dead chip: emit the one JSON line immediately instead of
             # grinding through the section budget against a dead backend
             results["per_demo_episode"] = {
@@ -577,12 +626,16 @@ def main():
                          "(worker fault recovery window)"}
             return
 
+        first = True
         while True:
             todo = [s for s in SECTION_ORDER if s not in results]
             if not todo or time.time() >= DEADLINE:
                 break
+            if not first:
+                accounting["child_restarts"] += 1
+            first = False
             proc = _spawn_child(todo, DEADLINE)
-            clean = _drain_child(proc, results)
+            clean = _drain_child(proc, results, accounting)
             if clean:
                 break
             # child died (TPU fault): let the worker recover if time allows,
@@ -595,9 +648,10 @@ def main():
                 break
             _progress("recovery", {"sleep_s": round(sleep_s),
                                    "missing": still})
+            accounting["recovery_sleep_s"] += round(sleep_s)
             time.sleep(sleep_s)
     finally:
-        print(json.dumps(_final_json(results)), flush=True)
+        print(json.dumps(_final_json(results, accounting)), flush=True)
 
 
 if __name__ == "__main__":

@@ -75,7 +75,8 @@ class HostRefPlanner:
     """Drop-in (slow, float64) reference-semantics planner."""
 
     def __init__(self, cfg: PlannerConfig, smp: SemanticMap,
-                 lcl_smp: LocalSemanticMap, shared_net=None):
+                 lcl_smp: LocalSemanticMap, shared_net=None,
+                 record_debug: bool = False):
         self.cfg = cfg
         self.smp = smp
         self.lcl_smp = lcl_smp
@@ -85,6 +86,12 @@ class HostRefPlanner:
         self.obs_buffer = HostObsBuffer(cfg.max_actors)
         self.diagnostics: Dict[str, int] = {
             "plans": 0, "plan_failures": 0, "branch_overflows": 0}
+        # record_debug: keep per-plan decision internals (mode probs,
+        # prune/merge/branch margins per expansion, per-tree selection
+        # costs) in self.debug — the stage-by-stage divergence dump the
+        # playback diagnostic compares against the device planner
+        self.record_debug = record_debug
+        self.debug: Optional[dict] = None
 
         if shared_net is not None:
             self.model, self.params, batched_apply = shared_net
@@ -148,6 +155,8 @@ class HostRefPlanner:
         actor_mask = self.obs_buffer.actor_mask()
         if not actor_mask[0]:
             return False, None, None
+        if self.record_debug:
+            self.debug = {"rounds": []}
 
         nodes = self._branch_aime(actor_mask)
         trees = self._export_trees(nodes)
@@ -164,6 +173,7 @@ class HostRefPlanner:
         full_p = self._cost_params(self.cfg.traj_tree.full, x0, tv, warm=False)
 
         best_cost, best_xs, best_us = np.inf, None, None
+        tree_costs = []
         tt = self.cfg.traj_tree
         for root_key in trees:
             cost_nodes = self._cost_tree(nodes, root_key, exo_valid)
@@ -177,8 +187,27 @@ class HostRefPlanner:
                 max_iterations=tt.max_iterations, rel_tol=tt.rel_tol,
                 n_line_search=tt.n_line_search, mu_max=tt.max_reg)
             cost = self._evaluate(full.xs, full.us, x0, tv)
+            tree_costs.append(float(cost))
             if cost < best_cost:
                 best_cost, best_xs, best_us = cost, full.xs, full.us
+
+        if self.record_debug:
+            order = np.sort(tree_costs)
+            self.debug.update({
+                "n_nodes": len(nodes),
+                "scen_nodes": [
+                    {"key": k, "parent": nd.parent, "cur_t": nd.cur_t,
+                     "t_b": nd.t_b, "duration": nd.duration,
+                     "prob": float(nd.prob),
+                     "norm_prob": float(nd.norm_prob),
+                     "end": bool(nd.end)}
+                    for k, nd in nodes.items() if k != 0],
+                "tree_roots": list(trees),
+                "tree_costs": tree_costs,
+                "best_root": int(trees[int(np.argmin(tree_costs))]),
+                "selection_margin": (float(order[1] - order[0])
+                                     if len(order) > 1 else float("inf")),
+            })
 
         ctrl = best_xs[0, 4:6].copy()   # first cost node's [a, steer]
         if not np.isfinite(ctrl).all():
@@ -254,6 +283,16 @@ class HostRefPlanner:
                     cls_b[bi], reg_b[bi], vel_b[bi], preps[bi],
                     wp, wa, wv, wc, nd.prob, cur_t, actor_mask,
                     self.tgt_points, self.tgt_n, scen)
+                if self.record_debug:
+                    self.debug["rounds"].append({
+                        "branch_key": key, "cur_t": cur_t,
+                        "mode_probs": dec.prob.tolist(),
+                        "keep": dec.keep.tolist(),
+                        "t_b": dec.t_b.tolist(),
+                        "prune_margin": dec.prune_margin.tolist(),
+                        "tgt_margin": dec.tgt_margin.tolist(),
+                        "merge_gap": dec.merge_gap.tolist(),
+                    })
                 made_child = False
                 for m in range(len(dec.prob)):
                     if not dec.keep[m]:

@@ -177,6 +177,12 @@ class HostDecoded:
     prob: np.ndarray      # [M]
     keep: np.ndarray      # [M] bool
     t_b: np.ndarray       # [M] int
+    # decision margins (diagnostics — how close each mode sat to the
+    # prune/merge boundaries; see scripts/diag_playback.py)
+    prune_margin: np.ndarray = None  # [M] prob - prune_prob (drop if < 0)
+    tgt_margin: np.ndarray = None    # [M] thres - (d_tgt - cov) (drop if < 0)
+    merge_gap: np.ndarray = None     # [M] closest-signature gap - merge_thres
+    #    (merged into an earlier mode if <= 0; +inf when nothing to merge to)
 
 
 def _points_polyline_dist_np(points, polyline, n_valid):
@@ -253,10 +259,18 @@ def decode_node_np(cls, reg, vel_pred, inputs: HostSceneInputs,
     # greedy merge, descending mode probability (scenario_tree.py:397-410)
     order = np.argsort(-cls, kind="stable")
     sel = np.zeros(M, bool)
+    merge_gap = np.full(M, np.inf)
     for i in order:
         diff = wrap(topo - topo[i])
-        differs = np.any(((np.abs(diff) - scen_cfg.merge_thres) > 0)
-                         & exo_valid[None, :], axis=-1)
+        # per-candidate signature distance = the largest per-exo bearing
+        # change difference vs each other mode (the reference merges when
+        # NO valid exo differs by more than the threshold)
+        sig_dist = np.max(np.where(exo_valid[None, :], np.abs(diff), -np.inf),
+                          axis=-1)
+        differs = sig_dist - scen_cfg.merge_thres > 0
+        if sel.any():
+            merge_gap[i] = float(np.min(sig_dist[sel])
+                                 - scen_cfg.merge_thres)
         if keep[i] and np.all(differs[sel]):
             sel[i] = True
     keep_final = sel
@@ -277,7 +291,11 @@ def decode_node_np(cls, reg, vel_pred, inputs: HostSceneInputs,
 
     return HostDecoded(pos=hist_pos, ang=hist_ang, vel=hist_vel,
                        cov=hist_cov, tgt_pts=inputs.tgt_pts, prob=prob,
-                       keep=keep_final, t_b=t_b)
+                       keep=keep_final, t_b=t_b,
+                       prune_margin=prob - scen_cfg.prune_prob,
+                       tgt_margin=(scen_cfg.tar_dist_thres
+                                   - (d_tgt - ego_cov)),
+                       merge_gap=merge_gap)
 
 
 class HostObsBuffer:

@@ -236,7 +236,163 @@ def run_parity_episode_playback(demo: str, max_steps: int,
     }
 
 
-class _TandemPlanner:
+def _slot_obj_types(types: np.ndarray):
+    """Reverse the one-hot type encoding (round-trips via type_onehot)."""
+    from mind_tpu.data.av2 import ObjectType
+    from mind_tpu.planner.planner import TYPE_ORDER
+
+    out = []
+    for row in types:
+        if row.sum() == 0:
+            out.append(ObjectType.UNKNOWN)
+        else:
+            i = int(np.argmax(row))
+            out.append(TYPE_ORDER[i] if i < 6 else ObjectType.STATIC)
+    return out
+
+
+def run_playback_diagnostic(demo: str, max_steps: int,
+                            data_root: str = DATA_ROOT,
+                            worst_k: int = 5,
+                            dev_threshold: float = 1e-3,
+                            enable_timestep=None,
+                            planner_cfg=None) -> dict:
+    """Stage-by-stage divergence dump for the episode-playback parity
+    (VERDICT r4 #4: WHERE do cm-scale cycles come from?).
+
+    Runs the fused episode, then per plan cycle drives BOTH the staged
+    production planner and the f64 mirror (record_debug=True) from the
+    episode's identical inputs, comparing every decision stage:
+
+    - scenario-tree structure: node count, per-node (parent, duration,
+      norm_prob) — device vs mirror;
+    - the mirror's decision margins per expansion (prune/merge/branch);
+    - per-tree selection costs + the selection margin, device vs mirror;
+    - the executed control deviation and its 5-tick rollout deviation.
+
+    Returns {"cycles": [...], "worst": [...]} where `worst` carries the
+    full stage dump for the `worst_k` cycles by rollout deviation (plus
+    any cycle above `dev_threshold`)."""
+    from mind_tpu.config import SimConfig, planner_config_for_demo
+    from mind_tpu.sim.simulator import Simulator
+    from mind_tpu.sim.agents import MINDAgent
+    from mind_tpu.sim.episode import (
+        TICKS_PER_PLAN,
+        build_episode_inputs,
+        run_episode,
+    )
+    from mind_tpu.common.kinematics import kine_propagate_np
+    from mind_tpu.parity import HostRefPlanner
+
+    cfg = SimConfig.from_json(f"configs/{demo}.json", data_root=data_root)
+    cfg.render = False
+    if enable_timestep is not None:  # short-horizon harness testing
+        cfg.cl_agents[0].enable_timestep = enable_timestep
+    pcfg = planner_cfg or planner_config_for_demo(demo)
+    sim = Simulator(cfg, max_steps=max_steps, planner_cfg=pcfg)
+    sim.init_sim()
+    ego = next(a for a in sim.agents if isinstance(a, MINDAgent))
+    dev_pl = ego.planner
+    dev_pl.export_trees = True  # staged path exposes meta + tree costs
+
+    inp = build_episode_inputs(sim, max_steps)
+    res = run_episode(sim, max_steps, inputs=inp)
+
+    host_pl = HostRefPlanner(
+        dev_pl.cfg, ego._smp, ego.lcl_smp,
+        shared_net=(dev_pl.model, dev_pl.params, dev_pl.batched_apply),
+        record_debug=True)
+    host_pl.update_target_lane(ego.gt_tgt_lane)
+
+    origin = dev_pl.origin
+    slot_states = np.asarray(inp.slot_states, np.float64)
+    present = np.asarray(inp.present)
+    active = np.asarray(inp.active)
+    slot_types = _slot_obj_types(np.asarray(inp.types))
+    enable_tick = int(inp.enable_tick)
+    C = slot_states.shape[0]
+    vp = ego.veh_param
+    dt = sim.config.sim_step
+
+    cycles = []
+    for c in range(C):
+        if res.fail_cycle >= 0 and c > res.fail_cycle:
+            break
+        t_tick = c * TICKS_PER_PLAN
+        ego_state = res.ego_states[c * TICKS_PER_PLAN].astype(np.float64)
+        obs = []
+        for s in range(slot_states.shape[1]):
+            if not (active[c, s] and present[c, s]):
+                continue
+            st = slot_states[c, s].copy()
+            st[:2] += origin
+            if s == 0:
+                st = ego_state.copy()
+            obs.append((f"slot_{s}", st, slot_types[s]))
+        host_pl.update_observation(obs)
+        dev_pl.update_observation(obs)
+
+        if not res.planned[c]:
+            continue
+        ctrl_in = (np.zeros(2) if t_tick <= enable_tick
+                   else res.controls[c - 1].astype(np.float64))
+        host_pl.update_state_ctrl(ego_state, ctrl_in)
+        dev_pl.update_state_ctrl(ego_state, ctrl_in)
+        ok_h, ctrl_h, _ = host_pl.plan()
+        ok_d, ctrl_d, _ = dev_pl.plan()
+
+        rec = {"cycle": c, "ok_dev": bool(ok_d), "ok_host": bool(ok_h)}
+        if ok_d and ok_h:
+            sd = sh = ego_state.copy()
+            worst = 0.0
+            for _ in range(TICKS_PER_PLAN):
+                sd = kine_propagate_np(sd, np.asarray(ctrl_d, np.float64),
+                                       dt, vp.wb, vp.max_spd, vp.max_str)
+                sh = kine_propagate_np(sh, np.asarray(ctrl_h, np.float64),
+                                       dt, vp.wb, vp.max_spd, vp.max_str)
+                worst = max(worst, float(np.linalg.norm(sd[:2] - sh[:2])))
+            dbg = host_pl.debug
+            dev_meta = dev_pl.last_meta
+            end = dev_meta["end_flag"].copy()
+            end[0] = False  # slot 0 is the root (the host dump skips key 0)
+            dev_nodes = [
+                {"slot": int(i), "parent": int(dev_meta["parent"][i]),
+                 "duration": int(dev_meta["duration"][i]),
+                 "tree": int(dev_meta["tree_id"][i]),
+                 "norm_prob": float(dev_meta["norm_prob"][i])}
+                for i in np.flatnonzero(end)]
+            host_costs = np.asarray(dbg["tree_costs"])
+            dev_costs = np.asarray(dev_pl.last_tree_costs)
+            rec.update({
+                "cycle_dev": worst,
+                "ctrl_dev": float(np.abs(np.asarray(ctrl_d)
+                                         - np.asarray(ctrl_h)).max()),
+                "n_trees_dev": int(dev_pl.last_n_trees),
+                "n_trees_host": int(host_pl.last_n_trees),
+                "n_end_nodes_dev": int(np.count_nonzero(end)),
+                "n_end_nodes_host": sum(1 for n in dbg["scen_nodes"]
+                                        if n["end"]),
+                "tree_costs_dev": dev_costs.tolist(),
+                "tree_costs_host": host_costs.tolist(),
+                "best_dev": int(np.argmin(dev_costs)),
+                "best_host": int(np.argmin(host_costs)),
+                "selection_margin_dev": float(
+                    np.diff(np.sort(dev_costs)[:2])[0])
+                if len(dev_costs) > 1 else float("inf"),
+                "selection_margin_host": dbg["selection_margin"],
+                "host_debug": dbg,
+                "dev_nodes": dev_nodes,
+            })
+        cycles.append(rec)
+
+    full = [r for r in cycles if "cycle_dev" in r]
+    full.sort(key=lambda r: -r["cycle_dev"])
+    worst = [r for i, r in enumerate(full)
+             if i < worst_k or r["cycle_dev"] > dev_threshold]
+    summary = [{k: r[k] for k in r
+                if k not in ("host_debug", "dev_nodes")} for r in cycles]
+    return {"demo": demo, "fail_cycle": res.fail_cycle,
+            "cycles": summary, "worst": worst}
     """Delegates the MINDPlanner surface to BOTH the production planner and
     the host mirror, applying the production control while recording each
     cycle's (state, ctrl_dev, ctrl_host). Because both sides receive the

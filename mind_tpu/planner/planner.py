@@ -426,13 +426,15 @@ class MINDPlanner:
                     slots, norm_prob, amask, dct_like, best, x0, us_b[best],
                     warm_params, full_params, self.ilqr_cfg,
                     self.warm_ilqr_cfg, cfg.traj_tree)
-            # everything the host needs, in one small pull
+            # everything the host needs, in one small pull; the f64 tree
+            # costs ride along separately for selection-margin diagnostics
+            # (f32 packing would round away near-tie margins)
             packed = jnp.concatenate([
                 ctrl,
                 jnp.array([best], jnp.float32),
                 jnp.array([jnp.max(jnp.where(tree_mask, its, 0))], jnp.float32),
             ])
-            return xs_b, us_b, packed
+            return xs_b, us_b, packed, cost_b
 
         self._solve_fn = jax.jit(solve_fn)
 
@@ -523,6 +525,12 @@ class MINDPlanner:
             return False, None, None
         self.metrics.incr("plans")
         self.last_n_nodes = n_nodes
+        # AIME meta kept for stage-by-stage diagnostics (diag_playback)
+        self.last_meta = {
+            "parent": parent, "duration": duration, "end_flag": end_flag,
+            "tree_id": tree_id,
+            "norm_prob": packed_np[4 * MN:5 * MN].astype(np.float64),
+        }
 
         with self.metrics.timer.phase("flatten"):
             trees = build_cost_indices(parent, duration, end_flag, tree_id,
@@ -555,13 +563,14 @@ class MINDPlanner:
         full_p = full_p._replace(field_offset=offset)
 
         with self.metrics.timer.phase("solve"):
-            xs_b, us_b, packed_s = self._solve_fn(
+            xs_b, us_b, packed_s, cost_b = self._solve_fn(
                 state.slots, meta.norm_prob, amask_d, topo_b,
                 cost_slot_b, cost_step_b, tree_mask, x0, warm_p, full_p,
                 jnp.float32(tv))
             small = np.asarray(packed_s)  # the one solve-side sync
         ctrl = small[:2].astype(np.float64)
         self.metrics.observe("ilqr_iterations", float(small[3]))
+        self.last_tree_costs = np.asarray(cost_b)[:n_real]
 
         if not np.isfinite(ctrl).all():
             self.metrics.incr("plan_failures")

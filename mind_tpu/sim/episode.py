@@ -637,13 +637,18 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
                             chunk: int = 4,
                             seg_cycles: int = 10,
                             deadline: Optional[float] = None,
-                            mesh=None) -> List[EpisodeResult]:
+                            mesh=None,
+                            chunk_walls: Optional[list] = None
+                            ) -> List[EpisodeResult]:
     """K Monte-Carlo perturbed closed-loop episodes, vmapped on device.
 
     `deadline` (epoch seconds) optionally bounds the sweep: no new chunk is
     dispatched past it, and the completed copies are returned (callers
     report len(results) as the copies actually run). Chunks that already
     started still finish — the bound is best-effort, not preemptive.
+    `chunk_walls`, if given, receives one (lo, hi, wall_s) tuple per
+    dispatched chunk — the cold (first-chunk executable load / hard-cycle)
+    vs warm steady-state split the MC benchmarks report.
 
     Lanes run in chunks of `chunk` copies per device program: each plan
     cycle's batched network forward materializes a [lanes*B, N, N, D] fusion
@@ -678,6 +683,7 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
     inp_b = build_mc_inputs(sim, k, pos_sigma, vel_sigma, seed, horizon)
     statics = build_episode_statics(pl)
     fn = episode_fn_for(pl, ego.veh_param, sim.sim_step, batch="copies_seg")
+    params = pl.params
     C = int(inp_b.slot_states.shape[1])
     A = int(inp_b.types.shape[-2])  # types is [K, A, 7] after _stack
     if mesh is not None:
@@ -689,6 +695,9 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
         copies_sh = NamedSharding(mesh, PartitionSpec(axis))
         replicated = NamedSharding(mesh, PartitionSpec())
         statics = jax.device_put(statics, replicated)
+        # checkpoint-loaded params arrive committed to one device; they
+        # must be replicated over the mesh like the statics
+        params = jax.device_put(params, replicated)
 
         def place_copies(tree):
             return jax.device_put(tree, copies_sh)
@@ -696,6 +705,7 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
     for lo in range(0, k, chunk):
         if deadline is not None and results and time.time() > deadline:
             break
+        t_chunk = time.perf_counter()
         hi = min(lo + chunk, k)
         inp_c = jax.tree.map(lambda x: x[lo:hi], inp_b)
         carry = jax.tree.map(
@@ -710,7 +720,7 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
         segs = []
         for s0 in range(0, C, seg_cycles):
             s1 = min(s0 + seg_cycles, C)
-            carry, out = fn(pl.params, _slice_cycles(inp_c, s0, s1),
+            carry, out = fn(params, _slice_cycles(inp_c, s0, s1),
                             statics, jnp.int32(0), jnp.int32(s0), carry)
             if mesh is not None and lo == 0 and s0 == 0:
                 got = len(out[0].sharding.device_set)
@@ -723,4 +733,7 @@ def run_episode_monte_carlo(sim, k: int = 64, pos_sigma: float = 0.5,
         results.extend(
             _to_result(pl, *(o[i] for o in outs_np))
             for i in range(hi - lo))
+        if chunk_walls is not None:
+            chunk_walls.append((lo, hi,
+                                round(time.perf_counter() - t_chunk, 2)))
     return results

@@ -57,6 +57,9 @@ def main():
 
     wanted = set(args.variants.split(","))
     rows = {}
+    if os.path.exists(args.out):  # merge: partial runs keep existing rows
+        with open(args.out) as f:
+            rows = json.load(f)
     for name, pdt, edt, mode in VARIANTS:
         if name not in wanted:
             continue

@@ -58,17 +58,20 @@ def main():
     sim = Simulator(cfg, planner_cfg=pcfg, max_steps=args.horizon)
     sim.init_sim()
 
-    # warm/compile on one chunk's worth of copies
+    # compile/cache-load on one chunk's worth of copies (untimed prefix)
     t0 = time.perf_counter()
     run_episode_monte_carlo(sim, args.chunk, chunk=args.chunk,
                             seg_cycles=args.seg, horizon=args.horizon)
-    warm_s = time.perf_counter() - t0
+    compile_s = time.perf_counter() - t0
 
+    walls = []
     t0 = time.perf_counter()
     res = run_episode_monte_carlo(sim, args.k, chunk=args.chunk,
-                                  seg_cycles=args.seg, horizon=args.horizon)
+                                  seg_cycles=args.seg, horizon=args.horizon,
+                                  chunk_walls=walls)
     wall = time.perf_counter() - t0
     total = sum(len(r.ego_states) for r in res)
+    baseline = 500.0 / 600.0
     out = {
         "demo": args.demo,
         "copies": args.k,
@@ -78,11 +81,23 @@ def main():
         "fail_cycles": sorted(r.fail_cycle for r in res if r.fail_cycle >= 0),
         "total_steps": total,
         "eff_steps_per_s": round(total / wall, 2),
-        "vs_baseline_0p83": round(total / wall / (500.0 / 600.0), 2),
+        "vs_baseline_0p83": round(total / wall / baseline, 2),
         "wall_s": round(wall, 2),
-        "warm_wall_s": round(warm_s, 2),
+        "compile_wall_s": round(compile_s, 2),
+        "chunk_walls_s": [w for _, _, w in walls],
         "backend": jax.default_backend(),
     }
+    # cold/warm split: the first timed chunk still pays executable-load +
+    # scheduling cost the steady state does not; the warm rate over the
+    # remaining chunks is the steady-state throughput headline, with the
+    # cold wall disclosed alongside (VERDICT r4 #3)
+    if len(walls) > 1:
+        warm_wall = sum(w for _, _, w in walls[1:])
+        warm_steps = sum(len(r.ego_states) for r in res[walls[0][1]:])
+        out["cold_first_chunk_s"] = walls[0][2]
+        out["warm_steps_per_s"] = round(warm_steps / warm_wall, 2)
+        out["warm_vs_baseline_0p83"] = round(
+            warm_steps / warm_wall / baseline, 2)
     print(json.dumps(out, indent=1))
     os.makedirs(os.path.dirname(os.path.join(root, args.out)), exist_ok=True)
     with open(os.path.join(root, args.out), "w") as f:

@@ -34,6 +34,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CL_STEPS = 60  # free-run certified closed-loop segment (VERDICT bar: >= 50)
 
+# free-run dtype-policy modes: label -> run_parity_demo overrides
+FREE_MODES = {
+    # whatever planner_config_for_demo ships (the production default)
+    "production": {},
+    # f32 pipeline/solve + f64 polish re-solve of the winner tree
+    "polish": {"exec_solve_dtype": "float64", "exec_resolve_mode": "polish"},
+    # the r4 speed ceiling: f32 everything, exec re-solve off
+    "fast_f32": {"exec_solve_dtype": "float32"},
+    # r3 production policy: f64 bulk pipeline, f32 solve, exec off
+    "balanced": {"pipeline_dtype": "float64",
+                 "exec_solve_dtype": "float32"},
+    # strict: pure f64 solver (matches the mirror's to ~1e-12)
+    "strict": {"solve_dtype": "float64"},
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -42,6 +57,8 @@ def main():
     ap.add_argument("--report", default=None)
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["free", "resync", "playback"])
+    ap.add_argument("--free-modes", default="production,fast_f32,strict",
+                    help=f"comma list from {sorted(FREE_MODES)}")
     args = ap.parse_args()
 
     from mind_tpu.config import SimConfig
@@ -55,9 +72,12 @@ def main():
         print({k: (round(v, 8) if isinstance(v, float) else v)
                for k, v in r.items() if k != "records"}, flush=True)
 
-    play_rows, sync_rows, free_rows, free_strict_rows = [], [], [], []
-    free_balanced_rows = []
+    play_rows, sync_rows = [], []
+    free_rows = {}  # mode label -> rows
     demos = [f"demo_{d.strip()}" for d in args.demos.split(",")]
+    free_modes = [m.strip() for m in args.free_modes.split(",") if m.strip()]
+    for m in free_modes:
+        assert m in FREE_MODES, f"unknown free mode {m!r}"
 
     if "playback" not in args.skip:
         for demo in demos:
@@ -83,19 +103,11 @@ def main():
             enable_ticks = int(round(cfg.cl_agents[0].enable_timestep
                                      / cfg.sim_step))
             free_steps = enable_ticks + CL_STEPS
-            print(f"=== {demo} free-run, production f32 solve ===", flush=True)
-            r = run_parity_demo(demo, free_steps)
-            free_rows.append(r)
-            show(r)
-            print(f"=== {demo} free-run, balanced (pipeline f64, f32 solve)"
-                  " ===", flush=True)
-            r = run_parity_demo(demo, free_steps, pipeline_dtype="float64")
-            free_balanced_rows.append(r)
-            show(r)
-            print(f"=== {demo} free-run, strict f64 solve ===", flush=True)
-            r = run_parity_demo(demo, free_steps, solve_dtype="float64")
-            free_strict_rows.append(r)
-            show(r)
+            for mode in free_modes:
+                print(f"=== {demo} free-run, {mode} ===", flush=True)
+                r = run_parity_demo(demo, free_steps, **FREE_MODES[mode])
+                free_rows.setdefault(mode, []).append(r)
+                show(r)
 
     if play_rows:
         ok = all(p["mean_cycle_dev"] <= 1e-3 and p["ok_mismatches"] == 0
@@ -107,25 +119,25 @@ def main():
                  for s in sync_rows)
         print(f"RESYNCED {'PASS' if ok else 'FAIL'} "
               f"(worst mean {max(s['mean_cycle_dev'] for s in sync_rows):.2e})")
-    if free_strict_rows:
-        ok = all(r["max_dev_cl"] <= 1e-3 for r in free_strict_rows)
-        print(f"FREE-RUN strict {'PASS' if ok else 'FAIL'} "
-              f"(max {max(r['max_dev_cl'] for r in free_strict_rows):.2e}); "
-              f"production max "
-              f"{max(r['max_dev_cl'] for r in free_rows):.2e}")
-    if free_balanced_rows:
-        ok = all(r["max_dev_cl"] <= 1e-3 for r in free_balanced_rows)
-        print(f"FREE-RUN balanced {'PASS' if ok else 'FAIL'} "
-              f"(max {max(r['max_dev_cl'] for r in free_balanced_rows):.2e})")
+    for mode, rows in free_rows.items():
+        ok = all(r["max_dev_cl"] <= 1e-3 for r in rows)
+        print(f"FREE-RUN {mode} {'PASS' if ok else 'FAIL'} "
+              f"(max {max(r['max_dev_cl'] for r in rows):.2e})")
 
     if args.report:
-        write_report(args.report, play_rows, sync_rows, free_rows,
-                     free_strict_rows, args.steps,
-                     free_balanced_rows=free_balanced_rows)
+        write_report(args.report, play_rows, sync_rows, free_rows, args.steps)
 
 
-def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
-                 steps, free_balanced_rows=()):
+FREE_MODE_LABELS = {
+    "production": "production (f32 + f64 polish exec)",
+    "polish": "f64 polish exec",
+    "fast_f32": "fast f32 (exec off)",
+    "balanced": "balanced (pipe f64)",
+    "strict": "strict f64",
+}
+
+
+def write_report(path, play_rows, sync_rows, free_rows, steps):
     lines = [
         "# PARITY_TRACES — end-to-end trajectory parity",
         "",
@@ -170,30 +182,21 @@ def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
         "",
         f"## 3. Free-run lockstep ({CL_STEPS} closed-loop steps past enable)",
         "",
-        "Two independent closed-loop sims; whole-trajectory deviation.",
-        "Production mode (f32 iLQR) and strict mode (`TrajTreeConfig.",
-        "solve_dtype='float64'` — the device solver matches the f64 mirror",
-        "to ~1e-12, so remaining deviation is transcendental-ULP noise).",
+        "Two independent closed-loop sims; whole-trajectory deviation,",
+        "measured per dtype policy (see README 'Precision policy' and",
+        "`scripts/parity_run.py:FREE_MODES`).",
         "",
         "| demo | mode | closed-loop steps | max dev (m) | mean dev (m) |"
         " final dev (m) |",
         "|---|---|---|---|---|---|",
     ]
-    for r in free_rows:
-        lines.append(
-            f"| {r['demo']} | production f32 | {r['closed_loop_steps']} |"
-            f" {r['max_dev_cl']:.2e} | {r['mean_dev_cl']:.2e} |"
-            f" {r['final_dev']:.2e} |")
-    for r in free_balanced_rows:
-        lines.append(
-            f"| {r['demo']} | balanced (pipe f64) | {r['closed_loop_steps']} |"
-            f" {r['max_dev_cl']:.2e} | {r['mean_dev_cl']:.2e} |"
-            f" {r['final_dev']:.2e} |")
-    for r in free_strict_rows:
-        lines.append(
-            f"| {r['demo']} | strict f64 | {r['closed_loop_steps']} |"
-            f" {r['max_dev_cl']:.2e} | {r['mean_dev_cl']:.2e} |"
-            f" {r['final_dev']:.2e} |")
+    for mode, rows in free_rows.items():
+        label = FREE_MODE_LABELS.get(mode, mode)
+        for r in rows:
+            lines.append(
+                f"| {r['demo']} | {label} | {r['closed_loop_steps']} |"
+                f" {r['max_dev_cl']:.2e} | {r['mean_dev_cl']:.2e} |"
+                f" {r['final_dev']:.2e} |")
 
     verdicts = []
     if play_rows:
@@ -208,20 +211,11 @@ def write_report(path, play_rows, sync_rows, free_rows, free_strict_rows,
         verdicts.append(
             f"resynced {'PASS' if ok else 'FAIL'} (worst mean "
             f"{max(s['mean_cycle_dev'] for s in sync_rows):.2e})")
-    if free_strict_rows:
-        ok = all(r["max_dev_cl"] <= 1e-3 for r in free_strict_rows)
+    for mode, rows in free_rows.items():
+        ok = all(r["max_dev_cl"] <= 1e-3 for r in rows)
         verdicts.append(
-            f"free-run strict {'PASS' if ok else 'FAIL'} (max "
-            f"{max(r['max_dev_cl'] for r in free_strict_rows):.2e})")
-    if free_balanced_rows:
-        ok = all(r["max_dev_cl"] <= 1e-3 for r in free_balanced_rows)
-        verdicts.append(
-            f"free-run balanced {'PASS' if ok else 'FAIL'} (max "
-            f"{max(r['max_dev_cl'] for r in free_balanced_rows):.2e})")
-    if free_rows:
-        verdicts.append(
-            f"free-run production max "
-            f"{max(r['max_dev_cl'] for r in free_rows):.2e}")
+            f"free-run {mode} {'PASS' if ok else 'FAIL'} (max "
+            f"{max(r['max_dev_cl'] for r in rows):.2e})")
     lines += [
         "",
         "**Result: " + "; ".join(verdicts) + "; target <= 1e-3.**",

@@ -44,15 +44,20 @@ STEPS = [
                     "--mode", "host", "--report", "DEMOS_TPU.md"],
      3600, None),
     ("bench", [sys.executable, "bench.py"], 4 * 3600, "BENCH_local.json"),
+    # phase split + MFU as a committed, driver-independent artifact
+    ("phases", [sys.executable, "bench.py", "--section", "phase_split",
+                "--out", "outputs/phases.json"], 2400, None),
     ("mc64", [sys.executable, "scripts/bench_mc.py", "--k", "64",
               "--out", "outputs/mc64.json"], 3600, None),
     ("strict", [sys.executable, "scripts/bench_strict.py"], 3600, None),
     ("scale", [sys.executable, "scripts/bench_scale.py"], 2400, None),
     ("parity", [sys.executable, "scripts/parity_run.py",
                 "--report", "PARITY_TRACES.md"], 3 * 3600, None),
-    ("video", [sys.executable, "run_sim.py", "--config",
-               "configs/demo_1.json", "--data-root",
-               "/root/reference/data"], 3600, None),
+    # regenerates the committed outputs/demo_1_full.avi at its documented
+    # 800x800 size budget (NOT run_sim.py's interactive figsize-12 render)
+    ("video", [sys.executable, "scripts/render_demo_video.py",
+               "--demo", "1", "--out", "outputs/demo_1_full.avi"],
+     3600, None),
 ]
 
 

@@ -113,3 +113,34 @@ def test_episode_playback_parity_demo1():
     assert r["plans_compared"] >= 5
     assert r["ok_mismatches"] == 0
     assert r["mean_cycle_dev"] <= 1e-3, r
+
+
+@pytest.mark.slow
+def test_playback_diagnostic_demo1():
+    """The stage-by-stage divergence dump (scripts/diag_playback.py) runs
+    end-to-end and carries every comparison stage: scenario-tree structure,
+    per-tree costs + selection margins on both sides, and the mirror's
+    prune/merge/branch margins per expansion round."""
+    from mind_tpu.config import planner_config_for_demo
+    from mind_tpu.parity.runner import run_playback_diagnostic
+
+    pc = planner_config_for_demo("demo_1")
+    pc.net.n_scene_layer = 1
+    pc.net.n_fpn_scale = 2
+    pc.ckpt_path = None  # deterministic seeded weights
+    out = run_playback_diagnostic("demo_1", max_steps=20, worst_k=2,
+                                  enable_timestep=0.0, planner_cfg=pc)
+    assert len(out["worst"]) >= 1
+    w = out["worst"][0]
+    for key in ("cycle_dev", "ctrl_dev", "tree_costs_dev", "tree_costs_host",
+                "selection_margin_dev", "selection_margin_host",
+                "dev_nodes", "host_debug"):
+        assert key in w, key
+    dbg = w["host_debug"]
+    assert dbg["rounds"] and all(
+        k in dbg["rounds"][0]
+        for k in ("mode_probs", "prune_margin", "tgt_margin", "merge_gap",
+                  "t_b"))
+    # both sides grew comparable trees on identical inputs
+    assert w["n_end_nodes_dev"] == w["n_end_nodes_host"]
+    assert w["n_trees_dev"] == w["n_trees_host"]
