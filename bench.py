@@ -110,9 +110,18 @@ def bench_network(pl):
         jnp.zeros((B, 20), f32),
     )
     fn = jax.jit(pl.batched_apply)
-    compiled = fn.lower(*args).compile()
+    # FLOPs from the pallas-FREE reference path: XLA's cost analysis cannot
+    # see inside the pallas fusion kernel, so counting the production
+    # executable under-reports by the whole fusion core (~7x measured)
+    import dataclasses
+
+    from mind_tpu.models.scene_pred import ScenePredNet, make_batched_apply
+
+    ref_cfg = dataclasses.replace(cfg.net, use_pallas_fusion=False)
+    ref_apply = make_batched_apply(ScenePredNet(ref_cfg), ref_cfg)
     try:
-        ca = compiled.cost_analysis()
+        ca = jax.jit(ref_apply).lower(pl.params, *args[1:]).compile(
+            ).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))

@@ -393,6 +393,9 @@ def run_playback_diagnostic(demo: str, max_steps: int,
                 if k not in ("host_debug", "dev_nodes")} for r in cycles]
     return {"demo": demo, "fail_cycle": res.fail_cycle,
             "cycles": summary, "worst": worst}
+
+
+class _TandemPlanner:
     """Delegates the MINDPlanner surface to BOTH the production planner and
     the host mirror, applying the production control while recording each
     cycle's (state, ctrl_dev, ctrl_host). Because both sides receive the
