@@ -40,6 +40,10 @@ FREE_MODES = {
     "production": {},
     # f32 pipeline/solve + f64 polish re-solve of the winner tree
     "polish": {"exec_solve_dtype": "float64", "exec_resolve_mode": "polish"},
+    # f32 pipeline/solve + f64 two-phase SCRATCH re-solve of the winner:
+    # reproduces the mirror's full iteration path, so the executed control
+    # is mirror-exact whenever the scenario tree + selection agree
+    "scratch": {"exec_solve_dtype": "float64", "exec_resolve_mode": "scratch"},
     # the r4 speed ceiling: f32 everything, exec re-solve off
     "fast_f32": {"exec_solve_dtype": "float32"},
     # r3 production policy: f64 bulk pipeline, f32 solve, exec off
@@ -131,6 +135,7 @@ def main():
 FREE_MODE_LABELS = {
     "production": "production (f32 + f64 polish exec)",
     "polish": "f64 polish exec",
+    "scratch": "f64 scratch exec",
     "fast_f32": "fast f32 (exec off)",
     "balanced": "balanced (pipe f64)",
     "strict": "strict f64",
