@@ -143,7 +143,12 @@ class TrajTreeConfig:
     #   reproducing the f64 mirror's iteration path exactly (executed
     #   control mirror-exact whenever the selection agrees) — the
     #   certification option, priced at ~5.6x the plan cycle
-    #   (outputs/exec_ab.json: 623 ms vs 111 ms on demo_1).
+    #   (outputs/exec_ab.json: 623 ms vs 111 ms on demo_1);
+    # - "native": the 'scratch' two-phase f64 re-solve computed as native
+    #   C++ on the HOST CPU (mind_tpu/native) instead of TPU f64 emulation
+    #   — same mirror-exact semantics at ~5 ms/plan instead of ~450 ms.
+    #   Host-loop path only (the fused single-program episode cannot call
+    #   out mid-scan); exec_solve_dtype is ignored (the C++ is f64).
     exec_resolve_mode: str = "polish"
     # iteration cap for the polish re-solve (a budget, not a trip count —
     # the lax.while_loop exits on the production rel_tol, measured ~5-15

@@ -106,11 +106,15 @@ def exec_resolve_ctrl(slots, norm_prob, amask, dct, best, x0, us_best,
 
 def fused_plan_core(params, buf, types, amask, x0, warm_params, full_params,
                     target_vel, lane_static, tgt_static, eval_segs, *,
-                    batched_apply, cfg, ilqr_cfg, warm_ilqr_cfg, weights):
+                    batched_apply, cfg, ilqr_cfg, warm_ilqr_cfg, weights,
+                    return_exec_payload=False):
     """The whole plan cycle as one pure program: AIME + device cost topology
     + two-phase solve + selection. Statics are data arguments so the same
     function vmaps across scenarios (parallel/multi_scenario.py).
-    Returns [ctrl(2), ok, max_iterations]."""
+    Returns [ctrl(2), ok, max_iterations]; with `return_exec_payload` (the
+    native host exec re-solve, TrajTreeConfig.exec_resolve_mode='native')
+    also returns the winner tree's (parent row, node mask, f64 cost-node
+    data) for the C++ re-solver (mind_tpu/native)."""
     state, meta = aime_grow_tree(
         params, batched_apply, cfg, buf, types, amask,
         lane_static, tgt_static)
@@ -138,16 +142,29 @@ def fused_plan_core(params, buf, types, amask, x0, warm_params, full_params,
     best = jnp.argmin(cost_b)
     ctrl = ctrl_b[best].astype(jnp.float32)  # f64 under solve_dtype=float64
     ed = resolve_exec_dtype(cfg.traj_tree, ilqr_cfg.dtype)
-    if ed != sd:  # static: compiled in only when the re-solve is enabled
+    native = cfg.traj_tree.exec_resolve_mode == "native"
+    if ed != sd and not native:  # static: compiled in only when enabled
         ctrl = exec_resolve_ctrl(
             state.slots, meta.norm_prob, amask, dct, best, x0, us_b[best],
             warm_params, full_params, ilqr_cfg, warm_ilqr_cfg,
             cfg.traj_tree)
     ok = (dct.n_trees > 0).astype(jnp.float32)
-    return jnp.concatenate([
+    out = jnp.concatenate([
         ctrl, jnp.array([ok], jnp.float32),
         jnp.array([jnp.max(jnp.where(dct.tree_mask, its, 0))], jnp.float32),
     ])
+    if not return_exec_payload:
+        return out
+    # winner-tree payload for the NATIVE host exec re-solve: the f64 gather
+    # the device 'scratch' re-solve would consume (gather_cost_nodes in
+    # exec_resolve_ctrl), shipped to the host CPU where f64 is native
+    topo_best = jax.tree.map(lambda x: x[best], dct.topo)
+    nodes_e = gather_cost_nodes(slots=state.slots, norm_prob=meta.norm_prob,
+                                cost_slot=dct.cost_slot[best],
+                                cost_step=dct.cost_step[best],
+                                node_mask=topo_best.node_mask, actor_mask=amask,
+                                dtype=jnp.float64)
+    return out, (topo_best.parent, topo_best.node_mask, nodes_e)
 
 
 def type_onehot(obj_type: ObjectType) -> np.ndarray:
@@ -445,14 +462,31 @@ class MINDPlanner:
             ilqr_cfg=self.ilqr_cfg, warm_ilqr_cfg=self.warm_ilqr_cfg,
             weights=weights)
 
+        # native host exec re-solve: the fused program additionally returns
+        # the winner tree's f64 cost nodes; the ~5 ms C++ two-phase solve
+        # replaces the ~450 ms f64-emulated device re-solve (mind_tpu/native)
+        self._exec_native = cfg.traj_tree.exec_resolve_mode == "native"
+        if self._exec_native:
+            from mind_tpu import native
+
+            native.load()  # build/load the C++ solver now, not mid-episode
+
         def fused_fn(params, buf, types, amask, x0, warm_params, full_params,
                      target_vel):
             return core(params, buf, types, amask, x0, warm_params,
                         full_params, target_vel, self.lane_static,
-                        self.tgt_static, self._eval_segs)
+                        self.tgt_static, self._eval_segs,
+                        return_exec_payload=self._exec_native)
 
         self._fused_fn = jax.jit(fused_fn)
         self._fused_core = core  # statics-as-args version for batched runners
+
+        if self._exec_native:
+            def exec_gather_fn(slots, norm_prob, amask, cs, st, mask):
+                return gather_cost_nodes(slots, norm_prob, cs, st, mask,
+                                         amask, dtype=jnp.float64)
+
+            self._exec_gather_fn = jax.jit(exec_gather_fn)
 
     def _cost_params(self):
         """Static parts of the warm/full CostParams (built once; only the
@@ -477,6 +511,64 @@ class MINDPlanner:
         n, _ = ph.smooth_grid_size
         half = 0.5 * (n - 1) * ph.smooth_grid_res
         return jnp.asarray([state[0] - half, state[1] - half], jnp.float64)
+
+    # ------------------------------------------------------------------
+    # NATIVE execution re-solve (TrajTreeConfig.exec_resolve_mode='native'):
+    # the winner tree's two-phase f64 solve runs as C++ on the host CPU
+    # (mind_tpu/native/exec_ilqr.cpp), where f64 is a native ALU op instead
+    # of TPU software emulation — same semantics as the device 'scratch'
+    # re-solve (reference planner.py:174-178) at ~1% of its cost.
+    # ------------------------------------------------------------------
+    def _native_cost_params(self):
+        """Flat phase-parameter blocks + target-lane points for the C++
+        solver (built once; only the grid origin changes per plan)."""
+        if not hasattr(self, "_native_params_cache"):
+            from mind_tpu import native
+
+            warm_p, full_p = self._cost_params()
+            wf, pts = native.pack_cost_params(warm_p)
+            ff, _ = native.pack_cost_params(full_p)  # phases share the lane
+            self._native_params_cache = (wf, ff, pts)
+        return self._native_params_cache
+
+    def _native_exec_ctrl(self, parent, node_mask, nodes,
+                          s_loc) -> Optional[np.ndarray]:
+        """Run the native two-phase re-solve of the winner tree and return
+        its first control (xs[0, 4:6], planner.py:141-144 semantics), or
+        None when the tree is empty."""
+        from mind_tpu import native
+
+        parent = np.asarray(parent)
+        mask = np.asarray(node_mask)
+        n = int(mask.sum())
+        if n <= 0:
+            return None
+        tt = self.cfg.traj_tree
+        wf, ff, pts = self._native_cost_params()
+        off = self._field_offset_np(s_loc)
+        wf = wf.copy()
+        ff = ff.copy()
+        wf[0:2] = off
+        ff[0:2] = off
+        x0 = np.concatenate([np.asarray(s_loc, np.float64),
+                             np.asarray(self.ctrl, np.float64)])
+        xs, _us, _info = native.two_phase_solve(
+            parent[:n], np.asarray(nodes.prob)[:n],
+            np.asarray(nodes.ego_mean)[:n], np.asarray(nodes.ego_cov)[:n],
+            np.asarray(nodes.exo_mean)[:n], np.asarray(nodes.exo_cov)[:n],
+            np.asarray(nodes.exo_mask)[:n], pts, x0, wf, ff,
+            dt=tt.dt, wb=tt.wheelbase,
+            warm_max_iterations=tt.warm_max_iterations,
+            max_iterations=tt.max_iterations, rel_tol=tt.rel_tol,
+            n_line_search=tt.n_line_search, mu_max=tt.max_reg)
+        return xs[0, 4:6]
+
+    def _field_offset_np(self, state: np.ndarray) -> np.ndarray:
+        """Numpy twin of _field_offset (identical f64 arithmetic)."""
+        ph = self.cfg.traj_tree.full
+        n, _ = ph.smooth_grid_size
+        half = 0.5 * (n - 1) * ph.smooth_grid_res
+        return np.array([state[0] - half, state[1] - half], np.float64)
 
     def local_state(self) -> np.ndarray:
         """Current ego state in the local planning frame (float64 host)."""
@@ -572,6 +664,17 @@ class MINDPlanner:
         self.metrics.observe("ilqr_iterations", float(small[3]))
         self.last_tree_costs = np.asarray(cost_b)[:n_real]
 
+        if self._exec_native and np.isfinite(ctrl).all():
+            with self.metrics.timer.phase("exec_native"):
+                topo_w, cs_w, st_w = trees[int(small[2])]
+                nodes_e = self._exec_gather_fn(
+                    state.slots, meta.norm_prob, amask_d, jnp.asarray(cs_w),
+                    jnp.asarray(st_w), jnp.asarray(topo_w.node_mask))
+                nat = self._native_exec_ctrl(topo_w.parent, topo_w.node_mask,
+                                             nodes_e, s_loc)
+                if nat is not None:
+                    ctrl = np.asarray(nat, np.float64)
+
         if not np.isfinite(ctrl).all():
             self.metrics.incr("plan_failures")
             return False, None, None
@@ -599,16 +702,26 @@ class MINDPlanner:
             offset = self._field_offset(s_loc)
             warm_p = warm_p._replace(field_offset=offset)
             full_p = full_p._replace(field_offset=offset)
-            packed = self._fused_fn(
+            out = self._fused_fn(
                 self.params, self.obs_buffer.buf,
                 self.obs_buffer.types_device(), amask_d,
                 x0, warm_p, full_p, jnp.float32(tv))
+            packed, payload = out if self._exec_native else (out, None)
             small = np.asarray(packed)  # the one sync
         ctrl = small[:2].astype(np.float64)
         self.metrics.observe("ilqr_iterations", float(small[3]))
         if small[2] < 0.5 or not np.isfinite(ctrl).all():
             self.metrics.incr("plan_failures")
             return False, None, None
+        if self._exec_native:
+            with self.metrics.timer.phase("exec_native"):
+                nat = self._native_exec_ctrl(payload[0], payload[1],
+                                             payload[2], s_loc)
+            if nat is not None:
+                ctrl = np.asarray(nat, np.float64)
+                if not np.isfinite(ctrl).all():
+                    self.metrics.incr("plan_failures")
+                    return False, None, None
         self.metrics.incr("plans")
         return True, ctrl, None
 

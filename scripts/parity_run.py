@@ -49,6 +49,16 @@ FREE_MODES = {
     # r3 production policy: f64 bulk pipeline, f32 solve, exec off
     "balanced": {"pipeline_dtype": "float64",
                  "exec_solve_dtype": "float32"},
+    # f64 bulk pipeline (mirror-precision AIME node data) + f64 scratch
+    # exec re-solve: predicted to close BOTH drift seeds (demo_2/3's) at once
+    "exec_bal": {"pipeline_dtype": "float64",
+                 "exec_solve_dtype": "float64",
+                 "exec_resolve_mode": "scratch"},
+    # 'scratch' semantics computed as native C++ on the host CPU
+    # (mind_tpu/native) — the production-speed version of exec_bal
+    "native": {"exec_resolve_mode": "native"},
+    "native_bal": {"pipeline_dtype": "float64",
+                   "exec_resolve_mode": "native"},
     # strict: pure f64 solver (matches the mirror's to ~1e-12)
     "strict": {"solve_dtype": "float64"},
 }
