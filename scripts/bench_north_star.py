@@ -92,8 +92,8 @@ def main():
         wall = time.perf_counter() - t0
         pf = av.planner.metrics.counters.get("plan_failures", 0)
         sps = m["ticks"] / wall
-        phases = {k: round(v * 1e3, 2)
-                  for k, v in av.planner.metrics.timer.means().items()}
+        phases = {k: v["mean_ms"]
+                  for k, v in av.planner.metrics.timer.summary().items()}
         row = {
             "demo": demo, "policy": args.policy,
             "backend": jax.default_backend(),
