@@ -157,14 +157,28 @@ def fused_plan_core(params, buf, types, amask, x0, warm_params, full_params,
         return out
     # winner-tree payload for the NATIVE host exec re-solve: the f64 gather
     # the device 'scratch' re-solve would consume (gather_cost_nodes in
-    # exec_resolve_ctrl), shipped to the host CPU where f64 is native
+    # exec_resolve_ctrl), shipped to the host CPU where f64 is native.
+    # Packed into ONE flat f64 vector so the host pulls it in a single
+    # device->host transfer — over a high-RTT link, eight separate pulls
+    # cost ~8x the round-trip latency (measured ~227 ms/plan vs ~40 ms).
     topo_best = jax.tree.map(lambda x: x[best], dct.topo)
     nodes_e = gather_cost_nodes(slots=state.slots, norm_prob=meta.norm_prob,
                                 cost_slot=dct.cost_slot[best],
                                 cost_step=dct.cost_step[best],
                                 node_mask=topo_best.node_mask, actor_mask=amask,
                                 dtype=jnp.float64)
-    return out, (topo_best.parent, topo_best.node_mask, nodes_e)
+    f64 = jnp.float64
+    return jnp.concatenate([
+        out.astype(f64),
+        topo_best.parent.astype(f64),
+        topo_best.node_mask.astype(f64),
+        nodes_e.prob.astype(f64),
+        nodes_e.ego_mean.astype(f64).ravel(),
+        nodes_e.ego_cov.astype(f64),
+        nodes_e.exo_mean.astype(f64).ravel(),
+        nodes_e.exo_cov.astype(f64).ravel(),
+        nodes_e.exo_mask.astype(f64).ravel(),
+    ])
 
 
 def type_onehot(obj_type: ObjectType) -> np.ndarray:
@@ -533,13 +547,44 @@ class MINDPlanner:
 
     def _native_exec_ctrl(self, parent, node_mask, nodes,
                           s_loc) -> Optional[np.ndarray]:
+        """Staged-path entry: pull the winner-tree NodeCostData and run the
+        native re-solve (the fused path uses _native_exec_ctrl_flat)."""
+        parent = np.asarray(parent)
+        mask = np.asarray(node_mask)
+        return self._native_solve_arrays(
+            parent, mask, np.asarray(nodes.prob), np.asarray(nodes.ego_mean),
+            np.asarray(nodes.ego_cov), np.asarray(nodes.exo_mean),
+            np.asarray(nodes.exo_cov), np.asarray(nodes.exo_mask), s_loc)
+
+    def _native_exec_ctrl_flat(self, flat: np.ndarray,
+                               s_loc) -> Optional[np.ndarray]:
+        """Fused-path entry: unpack the single-pull payload vector written
+        by fused_plan_core (layout documented there: [out(4), parent(MN),
+        node_mask(MN), prob(MN), ego_mean(2*MN), ego_cov(MN),
+        exo_mean(2*MN*E), exo_cov(MN*E), exo_mask(MN*E)])."""
+        MN = self.cfg.traj_tree.max_cost_nodes
+        E = self.cfg.max_actors - 1
+        o = 4
+        parent = flat[o:o + MN].astype(np.int32); o += MN
+        mask = flat[o:o + MN] > 0.5; o += MN
+        prob = flat[o:o + MN]; o += MN
+        ego_mean = flat[o:o + 2 * MN].reshape(MN, 2); o += 2 * MN
+        ego_cov = flat[o:o + MN]; o += MN
+        exo_mean = flat[o:o + 2 * MN * E].reshape(MN, E, 2); o += 2 * MN * E
+        exo_cov = flat[o:o + MN * E].reshape(MN, E); o += MN * E
+        exo_mask = flat[o:o + MN * E].reshape(MN, E) > 0.5
+        return self._native_solve_arrays(parent, mask, prob, ego_mean,
+                                         ego_cov, exo_mean, exo_cov,
+                                         exo_mask, s_loc)
+
+    def _native_solve_arrays(self, parent, mask, prob, ego_mean, ego_cov,
+                             exo_mean, exo_cov, exo_mask,
+                             s_loc) -> Optional[np.ndarray]:
         """Run the native two-phase re-solve of the winner tree and return
         its first control (xs[0, 4:6], planner.py:141-144 semantics), or
         None when the tree is empty."""
         from mind_tpu import native
 
-        parent = np.asarray(parent)
-        mask = np.asarray(node_mask)
         n = int(mask.sum())
         if n <= 0:
             return None
@@ -553,10 +598,8 @@ class MINDPlanner:
         x0 = np.concatenate([np.asarray(s_loc, np.float64),
                              np.asarray(self.ctrl, np.float64)])
         xs, _us, _info = native.two_phase_solve(
-            parent[:n], np.asarray(nodes.prob)[:n],
-            np.asarray(nodes.ego_mean)[:n], np.asarray(nodes.ego_cov)[:n],
-            np.asarray(nodes.exo_mean)[:n], np.asarray(nodes.exo_cov)[:n],
-            np.asarray(nodes.exo_mask)[:n], pts, x0, wf, ff,
+            parent[:n], prob[:n], ego_mean[:n], ego_cov[:n],
+            exo_mean[:n], exo_cov[:n], exo_mask[:n], pts, x0, wf, ff,
             dt=tt.dt, wb=tt.wheelbase,
             warm_max_iterations=tt.warm_max_iterations,
             max_iterations=tt.max_iterations, rel_tol=tt.rel_tol,
@@ -706,8 +749,8 @@ class MINDPlanner:
                 self.params, self.obs_buffer.buf,
                 self.obs_buffer.types_device(), amask_d,
                 x0, warm_p, full_p, jnp.float32(tv))
-            packed, payload = out if self._exec_native else (out, None)
-            small = np.asarray(packed)  # the one sync
+            flat = np.asarray(out)  # the one sync (packed payload in native)
+            small = flat[:4]
         ctrl = small[:2].astype(np.float64)
         self.metrics.observe("ilqr_iterations", float(small[3]))
         if small[2] < 0.5 or not np.isfinite(ctrl).all():
@@ -715,8 +758,7 @@ class MINDPlanner:
             return False, None, None
         if self._exec_native:
             with self.metrics.timer.phase("exec_native"):
-                nat = self._native_exec_ctrl(payload[0], payload[1],
-                                             payload[2], s_loc)
+                nat = self._native_exec_ctrl_flat(flat, s_loc)
             if nat is not None:
                 ctrl = np.asarray(nat, np.float64)
                 if not np.isfinite(ctrl).all():
