@@ -102,7 +102,7 @@ def _rollout(topo: TreeTopology, x0, us, dt, wb):
         xs = xs.at[safe_ids].set(jnp.where((ids >= 0)[:, None], x_new, xs[safe_ids]))
         return xs, None
 
-    xs, _ = jax.lax.scan(level_step, xs0, topo.level_table, unroll=8)
+    xs, _ = jax.lax.scan(level_step, xs0, topo.level_table, unroll=16)
     return xs[:MN]
 
 
@@ -130,7 +130,7 @@ def _rollout_policy(topo: TreeTopology, x0, xs_nom, us_nom, k, K, alpha, dt, wb)
         return (xs, us), None
 
     (xs, us), _ = jax.lax.scan(level_step, (xs0, us0), topo.level_table,
-                                unroll=8)
+                                unroll=16)
     return xs[:MN], us[:MN]
 
 
@@ -237,7 +237,7 @@ def _backward(topo: TreeTopology, st: _SolverState, mu):
 
     init = (V_x, V_xx, k, K, jnp.array(True))
     (V_x, V_xx, k, K, pd_ok), _ = jax.lax.scan(
-        level_step, init, topo.level_table, reverse=True, unroll=8)
+        level_step, init, topo.level_table, reverse=True, unroll=16)
     return k[:MN], K[:MN], pd_ok
 
 
